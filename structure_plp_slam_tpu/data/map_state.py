@@ -1,0 +1,231 @@
+"""Device-resident SoA map state.
+
+TPU-native replacement for the reference's pointer-graph map database
+(src/PLPSLAM/data/map_database.h:59-270 — heap keyframe/landmark objects,
+id maps, ONE global mutex locked by tracking, loop correction and loop BA).
+Here the entire map lives in fixed-capacity device arrays; "allocation" is
+writing to a slot and setting its valid bit, "deletion" is clearing the bit
+(the reference's erasure protocol, keyframe.h:262-277, becomes a mask
+update); compaction is a gather. There are no locks: updates are functional
+array donations sequenced by the host orchestrator.
+
+Capacity policy: capacities are static (jit shapes). The host wrapper
+(data/map_database.py) doubles capacities and re-dispatches if full —
+in practice the defaults hold a full TUM/EuRoC sequence.
+
+Observation model: each keyframe has ``max_kps`` keypoint slots;
+``kf_lm_idx[k, i]`` is the landmark id observed by keypoint i (or -1).
+This one index tensor IS the covisibility structure: shared-landmark counts
+between keyframes are an indicator matmul away (see
+:func:`covisibility_matrix`) — the reference maintains the same information
+incrementally in graph_node.cc:92 update_connections.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MapState(NamedTuple):
+    """All device arrays. Shapes: K = max keyframes, N = keypoint slots per
+    keyframe, L = max landmarks."""
+
+    # --- keyframes -------------------------------------------------------
+    kf_pose: jax.Array       # [K, 3, 4] f32 world->cam (R|t)
+    kf_valid: jax.Array      # [K] bool
+    kf_timestamp: jax.Array  # [K] f32
+    # per-keyframe keypoints (immutable measurements)
+    kf_xy: jax.Array         # [K, N, 2] f32 undistorted level-0 coords
+    kf_xr: jax.Array         # [K, N] f32 right-image x (< 0: mono)
+    kf_depth: jax.Array      # [K, N] f32 measured depth (<= 0: none)
+    kf_level: jax.Array      # [K, N] i32 pyramid level
+    kf_angle: jax.Array      # [K, N] f32 keypoint orientation
+    kf_desc: jax.Array       # [K, N, 8] u32 packed ORB
+    kf_bearing: jax.Array    # [K, N, 3] f32 unit rays
+    kf_kp_valid: jax.Array   # [K, N] bool
+    kf_lm_idx: jax.Array     # [K, N] i32 landmark id per keypoint (-1 none)
+    # --- landmarks (points) ---------------------------------------------
+    lm_pos: jax.Array        # [L, 3] f32
+    lm_valid: jax.Array      # [L] bool
+    lm_desc: jax.Array       # [L, 8] u32 representative descriptor
+    lm_normal: jax.Array     # [L, 3] f32 mean viewing direction
+    lm_dist_min: jax.Array   # [L] f32 ORB scale-invariance bounds
+    lm_dist_max: jax.Array   # [L] f32
+    lm_ref_kf: jax.Array     # [L] i32 reference keyframe
+    lm_n_vis: jax.Array      # [L] i32 num_observable (tracking visibility)
+    lm_n_fnd: jax.Array      # [L] i32 num_observed (actually matched)
+    lm_plane: jax.Array      # [L] i32 owning plane id (-1)
+
+    @property
+    def max_keyframes(self) -> int:
+        return self.kf_pose.shape[0]
+
+    @property
+    def max_kps(self) -> int:
+        return self.kf_xy.shape[1]
+
+    @property
+    def max_landmarks(self) -> int:
+        return self.lm_pos.shape[0]
+
+
+def create(max_keyframes: int = 256, max_kps: int = 1024, max_landmarks: int = 16384):
+    K, N, L = max_keyframes, max_kps, max_landmarks
+    f32 = jnp.float32
+    return MapState(
+        kf_pose=jnp.tile(
+            jnp.concatenate([jnp.eye(3, dtype=f32), jnp.zeros((3, 1), f32)], 1)[None],
+            (K, 1, 1),
+        ),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_timestamp=jnp.zeros((K,), f32),
+        kf_xy=jnp.zeros((K, N, 2), f32),
+        kf_xr=jnp.full((K, N), -1.0, f32),
+        kf_depth=jnp.zeros((K, N), f32),
+        kf_level=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N), f32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_bearing=jnp.zeros((K, N, 3), f32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_lm_idx=jnp.full((K, N), -1, jnp.int32),
+        lm_pos=jnp.zeros((L, 3), f32),
+        lm_valid=jnp.zeros((L,), bool),
+        lm_desc=jnp.zeros((L, 8), jnp.uint32),
+        lm_normal=jnp.zeros((L, 3), f32),
+        lm_dist_min=jnp.zeros((L,), f32),
+        lm_dist_max=jnp.zeros((L,), f32),
+        lm_ref_kf=jnp.full((L,), -1, jnp.int32),
+        lm_n_vis=jnp.zeros((L,), jnp.int32),
+        lm_n_fnd=jnp.zeros((L,), jnp.int32),
+        lm_plane=jnp.full((L,), -1, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Covisibility as matmul (replaces graph_node incremental bookkeeping).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def observation_indicator(state: MapState):
+    """``[K, L]`` f32 indicator: keyframe k observes landmark l.
+
+    Built by scatter from ``kf_lm_idx``; the workhorse for covisibility,
+    local-map assembly and landmark statistics.
+    """
+    K, N = state.kf_lm_idx.shape
+    L = state.lm_pos.shape[0]
+    lm = state.kf_lm_idx  # [K, N]
+    obs_valid = (lm >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    lm_safe = jnp.where(obs_valid, lm, L)  # scatter drops out-of-range
+    ind = jnp.zeros((K, L + 1), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0)
+    ind = ind.at[rows, lm_safe].max(1.0)
+    ind = ind[:, :L] * state.lm_valid[None, :].astype(jnp.float32)
+    return ind
+
+
+@jax.jit
+def covisibility_matrix(state: MapState):
+    """``[K, K]`` i32 shared-landmark counts (diag = own landmark count).
+
+    One bf16 matmul over the observation indicator — the TPU-native
+    equivalent of graph_node::update_connections
+    (src/PLPSLAM/data/graph_node.cc:92).
+    """
+    ind = observation_indicator(state).astype(jnp.bfloat16)
+    W = jax.lax.dot_general(
+        ind, ind, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return W.astype(jnp.int32)
+
+
+@jax.jit
+def landmark_observation_counts(state: MapState):
+    """``[L]`` i32 — number of keyframes observing each landmark."""
+    return jnp.sum(observation_indicator(state), axis=0).astype(jnp.int32)
+
+
+@jax.jit
+def local_landmark_mask(state: MapState, kf_mask):
+    """Landmarks observed by any keyframe in ``kf_mask`` (``[K]`` bool)."""
+    ind = observation_indicator(state)
+    return (jnp.einsum("k,kl->l", kf_mask.astype(jnp.float32), ind) > 0) & state.lm_valid
+
+
+# ---------------------------------------------------------------------------
+# Functional writers (used by the host orchestrator).
+# ---------------------------------------------------------------------------
+
+
+def add_keyframe(state: MapState, slot, pose, timestamp, feats, lm_idx):
+    """Write one keyframe into ``slot``. ``feats`` is the frame feature SoA
+    (xy/xr/depth/level/angle/desc/bearing/valid padded to max_kps)."""
+    return state._replace(
+        kf_pose=state.kf_pose.at[slot].set(pose),
+        kf_valid=state.kf_valid.at[slot].set(True),
+        kf_timestamp=state.kf_timestamp.at[slot].set(timestamp),
+        kf_xy=state.kf_xy.at[slot].set(feats["xy"]),
+        kf_xr=state.kf_xr.at[slot].set(feats["xr"]),
+        kf_depth=state.kf_depth.at[slot].set(feats["depth"]),
+        kf_level=state.kf_level.at[slot].set(feats["level"]),
+        kf_angle=state.kf_angle.at[slot].set(feats["angle"]),
+        kf_desc=state.kf_desc.at[slot].set(feats["desc"]),
+        kf_bearing=state.kf_bearing.at[slot].set(feats["bearing"]),
+        kf_kp_valid=state.kf_kp_valid.at[slot].set(feats["valid"]),
+        kf_lm_idx=state.kf_lm_idx.at[slot].set(lm_idx),
+    )
+
+
+def add_landmarks(state: MapState, slots, pos, desc, normal, dist_min, dist_max,
+                  ref_kf, valid):
+    """Scatter a batch of new landmarks into ``slots`` (``[M]`` i32).
+
+    Rows with ``valid=False`` write nothing (their slot index is redirected
+    to the scratch row L, then dropped).
+    """
+    L = state.lm_pos.shape[0]
+    safe = jnp.where(valid, slots, L)  # out-of-range scatter = dropped
+
+    def scat(arr, vals):
+        return arr.at[safe].set(vals, mode="drop")
+
+    return state._replace(
+        lm_pos=scat(state.lm_pos, pos),
+        lm_valid=state.lm_valid.at[safe].set(valid, mode="drop"),
+        lm_desc=scat(state.lm_desc, desc),
+        lm_normal=scat(state.lm_normal, normal),
+        lm_dist_min=scat(state.lm_dist_min, dist_min),
+        lm_dist_max=scat(state.lm_dist_max, dist_max),
+        lm_ref_kf=scat(state.lm_ref_kf, ref_kf),
+        lm_n_vis=scat(state.lm_n_vis, jnp.ones_like(slots)),
+        lm_n_fnd=scat(state.lm_n_fnd, jnp.ones_like(slots)),
+        lm_plane=scat(state.lm_plane, jnp.full_like(slots, -1)),
+    )
+
+
+def remove_landmarks(state: MapState, lm_mask):
+    """Invalidate landmarks where ``lm_mask`` is True and detach their
+    observations (reference: landmark::prepare_for_erasing)."""
+    lm_idx = state.kf_lm_idx
+    observed_gone = (lm_idx >= 0) & lm_mask[jnp.clip(lm_idx, 0, None)]
+    return state._replace(
+        lm_valid=state.lm_valid & ~lm_mask,
+        kf_lm_idx=jnp.where(observed_gone, -1, lm_idx),
+    )
+
+
+def remove_keyframes(state: MapState, kf_mask):
+    """Invalidate keyframes where ``kf_mask`` is True (observations detach
+    implicitly via kf_valid in observation_indicator)."""
+    return state._replace(
+        kf_valid=state.kf_valid & ~kf_mask,
+        kf_kp_valid=state.kf_kp_valid & ~kf_mask[:, None],
+        kf_lm_idx=jnp.where(kf_mask[:, None], -1, state.kf_lm_idx),
+    )

@@ -1,0 +1,265 @@
+"""Batched Schur-complement bundle adjustment.
+
+TPU-native replacement for the reference's g2o BA stack
+(src/PLPSLAM/optimize/local_bundle_adjuster.cc — 5+10 iteration two-phase
+local BA; global_bundle_adjuster.cc — full-map BA). One solver serves both:
+the caller chooses which cameras/landmarks participate and which cameras
+are held fixed (gauge).
+
+Formulation (all fixed-shape, all batched):
+  observations are flat arrays (cam_idx[O], lm_idx[O], uv[O,2], xr[O],
+  inv_sigma_sq[O], valid[O]) — the window-extraction gather lives in
+  ``window.py``.
+
+  Per GN/LM iteration:
+    1. residuals + analytic Jacobians per observation   (VPU, batched)
+    2. Hcc [C,6,6], Hll [M,3,3], b via segment-sum      (scatter-add)
+    3. W [M,C,6,3] cam-landmark coupling via scatter    (dense per window)
+    4. Schur: S = Hcc_blockdiag - W Hll^-1 W^T          (einsum on MXU)
+    5. dense Cholesky solve of S (6C x 6C)              (XLA potrf)
+    6. back-substitute landmark updates                 (batched 3x3)
+  Huber IRLS weights each iteration; damped diagonals (Levenberg).
+
+The dense [M, C, 6, 3] coupling tensor is the deliberate TPU trade: for
+local windows (C <= ~64 cams, M <= ~8k landmarks) it is ~30 MB — small
+against HBM — and turns the sparse Schur reduction the reference does with
+pointer chasing into two einsums that run on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from structure_plp_slam_tpu.ops import lie, robust
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape BA window."""
+
+    cam_pose: jax.Array      # [C, 3, 4] world->cam
+    cam_fixed: jax.Array     # [C] bool — gauge/fixed cameras
+    cam_valid: jax.Array     # [C] bool
+    lm_pos: jax.Array        # [M, 3]
+    lm_valid: jax.Array      # [M] bool
+    obs_cam: jax.Array       # [O] i32 — local camera index
+    obs_lm: jax.Array        # [O] i32 — local landmark index
+    obs_uv: jax.Array        # [O, 2] f32
+    obs_xr: jax.Array        # [O] f32 (< 0: mono)
+    obs_inv_sigma_sq: jax.Array  # [O] f32
+    obs_valid: jax.Array     # [O] bool
+
+
+class BAResult(NamedTuple):
+    cam_pose: jax.Array
+    lm_pos: jax.Array
+    obs_inlier: jax.Array    # [O] bool — post-solve chi2 classification
+    chi2: jax.Array          # f32 — final total robust error
+
+
+def _project_residuals(camera, cam_pose, lm_pos, prob: BAProblem):
+    """Residuals + camera-space points for all observations."""
+    R = cam_pose[prob.obs_cam, :, :3]
+    t = cam_pose[prob.obs_cam, :, 3]
+    X = lm_pos[prob.obs_lm]
+    pc = jnp.einsum("oij,oj->oi", R, X) + t
+    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+    u = camera.fx * pc[:, 0] / z + camera.cx
+    v = camera.fy * pc[:, 1] / z + camera.cy
+    r_uv = jnp.stack([u, v], axis=-1) - prob.obs_uv
+    r_xr = (u - camera.focal_x_baseline / z) - prob.obs_xr
+    return pc, r_uv, r_xr
+
+
+def _obs_chi2(prob, r_uv, r_xr, has_stereo):
+    chi2 = jnp.sum(r_uv * r_uv, -1) * prob.obs_inv_sigma_sq
+    return chi2 + jnp.where(has_stereo, r_xr * r_xr * prob.obs_inv_sigma_sq, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("camera", "num_iters", "cull_at_iters")
+)
+def ba_solve(
+    camera,
+    prob: BAProblem,
+    *,
+    num_iters: int = 15,
+    cull_at_iters: tuple = (5,),
+    damping: float = 1e-4,
+) -> BAResult:
+    """Run damped Gauss-Newton with Schur elimination on a BA window.
+
+    ``cull_at_iters``: iterations after which observations are chi2-gated
+    (the reference runs 5 iterations, prunes outliers, then 10 more —
+    local_bundle_adjuster.cc two-phase structure).
+    """
+    C = prob.cam_pose.shape[0]
+    M = prob.lm_pos.shape[0]
+    has_stereo = prob.obs_xr >= 0.0
+
+    obs_live0 = (
+        prob.obs_valid
+        & prob.cam_valid[prob.obs_cam]
+        & prob.lm_valid[prob.obs_lm]
+    )
+
+    def iteration(carry, it):
+        cam_pose, lm_pos, obs_live = carry
+        pc, r_uv, r_xr = _project_residuals(camera, cam_pose, lm_pos, prob)
+        chi2 = _obs_chi2(prob, r_uv, r_xr, has_stereo)
+        delta_sq = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
+        w = jnp.where(
+            obs_live,
+            robust.huber_weight(chi2, delta_sq) * prob.obs_inv_sigma_sq,
+            0.0,
+        )
+        # Behind-camera observations contribute nothing this iteration.
+        w = jnp.where(pc[:, 2] > 1e-6, w, 0.0)
+
+        # --- Jacobians -------------------------------------------------
+        x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+        z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        iz = 1.0 / z
+        iz2 = iz * iz
+        fx, fy, fxb = camera.fx, camera.fy, camera.focal_x_baseline
+        zero = jnp.zeros_like(z)
+        J_uv_pc = jnp.stack(
+            [
+                jnp.stack([fx * iz, zero, -fx * x * iz2], -1),
+                jnp.stack([zero, fy * iz, -fy * y * iz2], -1),
+            ],
+            axis=-2,
+        )  # [O, 2, 3]
+        J_xr_pc = jnp.stack([fx * iz, zero, -fx * x * iz2 + fxb * iz2], -1)  # [O,3]
+
+        R = cam_pose[prob.obs_cam, :, :3]
+        # d pc / d xi (left-mult update on the camera) = [I | -hat(pc)].
+        dpc_dxi = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3)),
+                -lie.hat(pc),
+            ],
+            axis=-1,
+        )  # [O, 3, 6]
+        # d pc / d X = R.
+        Jc2 = J_uv_pc @ dpc_dxi            # [O, 2, 6]
+        Jl2 = J_uv_pc @ R                  # [O, 2, 3]
+        Jc3 = (J_xr_pc[:, None, :] @ dpc_dxi)[:, 0]  # [O, 6]
+        Jl3 = (J_xr_pc[:, None, :] @ R)[:, 0]        # [O, 3]
+        w_st = jnp.where(has_stereo, w, 0.0)
+
+        # --- normal equation blocks ------------------------------------
+        Hcc_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jc2) + jnp.einsum(
+            "oi,oj->oij", Jc3 * w_st[:, None], Jc3
+        )  # [O, 6, 6]
+        Hll_o = jnp.einsum("ori,orj->oij", Jl2 * w[:, None, None], Jl2) + jnp.einsum(
+            "oi,oj->oij", Jl3 * w_st[:, None], Jl3
+        )  # [O, 3, 3]
+        Hcl_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jl2) + jnp.einsum(
+            "oi,oj->oij", Jc3 * w_st[:, None], Jl3
+        )  # [O, 6, 3]
+        bc_o = -(
+            jnp.einsum("ori,or->oi", Jc2 * w[:, None, None], r_uv)
+            + Jc3 * (w_st * r_xr)[:, None]
+        )  # [O, 6]
+        bl_o = -(
+            jnp.einsum("ori,or->oi", Jl2 * w[:, None, None], r_uv)
+            + Jl3 * (w_st * r_xr)[:, None]
+        )  # [O, 3]
+
+        Hcc = jnp.zeros((C, 6, 6), jnp.float32).at[prob.obs_cam].add(Hcc_o)
+        Hll = jnp.zeros((M, 3, 3), jnp.float32).at[prob.obs_lm].add(Hll_o)
+        bc = jnp.zeros((C, 6), jnp.float32).at[prob.obs_cam].add(bc_o)
+        bl = jnp.zeros((M, 3), jnp.float32).at[prob.obs_lm].add(bl_o)
+        W = (
+            jnp.zeros((M, C, 6, 3), jnp.float32)
+            .at[prob.obs_lm, prob.obs_cam]
+            .add(Hcl_o)
+        )
+
+        # --- Schur elimination -----------------------------------------
+        lam_l = damping * jnp.maximum(
+            jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+        )
+        Hll_d = Hll + lam_l * jnp.eye(3, dtype=jnp.float32)[None]
+        Hll_inv = jnp.linalg.inv(Hll_d)  # batched 3x3
+        # Landmarks with no observations: identity-damped inverse is fine
+        # (their b is 0 so updates are 0).
+
+        WHinv = jnp.einsum("mcij,mjk->mcik", W, Hll_inv)          # [M, C, 6, 3]
+        S_red = jnp.einsum("mcik,mdjk->cdij", WHinv, W)           # [C, C, 6, 6]
+        S = -S_red
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
+        rhs = bc - jnp.einsum("mcik,mk->ci", WHinv, bl)           # [C, 6]
+
+        # Fix cameras: identity rows/cols (gauge + fixed window borders).
+        free = (~prob.cam_fixed) & prob.cam_valid
+        free_f = free.astype(jnp.float32)
+        S = S * free_f[:, None, None, None] * free_f[None, :, None, None]
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(
+            jnp.where(free[:, None, None], 0.0, 1.0) * jnp.eye(6)[None]
+        )
+        rhs = rhs * free_f[:, None]
+
+        # Damping on camera blocks.
+        diag_scale = damping * jnp.maximum(
+            jnp.trace(S[jnp.arange(C), jnp.arange(C)], axis1=-2, axis2=-1) / 6.0,
+            1e-6,
+        )
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(
+            diag_scale[:, None, None] * jnp.eye(6)[None]
+        )
+
+        S_dense = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
+        rhs_dense = rhs.reshape(6 * C)
+        L_chol, low = jax.scipy.linalg.cho_factor(S_dense, lower=True)
+        dx_c = jax.scipy.linalg.cho_solve((L_chol, low), rhs_dense).reshape(C, 6)
+
+        # Back-substitute landmarks: dX = Hll^-1 (bl - W^T dx_c).
+        Wt_dxc = jnp.einsum("mcij,ci->mj", W, dx_c)               # [M, 3]
+        dx_l = jnp.einsum("mij,mj->mi", Hll_inv, bl - Wt_dxc)
+
+        ok = jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dx_l))
+        dx_c = jnp.where(ok, dx_c, 0.0)
+        dx_l = jnp.where(ok, dx_l, 0.0)
+
+        R_new, t_new = lie.se3_update(
+            cam_pose[:, :, :3], cam_pose[:, :, 3], dx_c
+        )
+        cam_pose_new = jnp.where(
+            free[:, None, None], lie.pack_pose(R_new, t_new), cam_pose
+        )
+        lm_pos_new = jnp.where(
+            prob.lm_valid[:, None], lm_pos + dx_l, lm_pos
+        )
+
+        # Outlier culling at designated iterations.
+        def cull(obs_live):
+            _, r_uv2, r_xr2 = _project_residuals(
+                camera, cam_pose_new, lm_pos_new, prob
+            )
+            chi2n = _obs_chi2(prob, r_uv2, r_xr2, has_stereo)
+            thr = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
+            return obs_live & (chi2n <= thr)
+
+        do_cull = jnp.zeros((), bool)
+        for ci in cull_at_iters:
+            do_cull = do_cull | (it == ci)
+        obs_live = jax.lax.cond(do_cull, cull, lambda m: m, obs_live)
+        return (cam_pose_new, lm_pos_new, obs_live), None
+
+    (cam_pose, lm_pos, obs_live), _ = jax.lax.scan(
+        iteration,
+        (prob.cam_pose, prob.lm_pos, obs_live0),
+        jnp.arange(num_iters),
+    )
+
+    _, r_uv, r_xr = _project_residuals(camera, cam_pose, lm_pos, prob)
+    chi2 = _obs_chi2(prob, r_uv, r_xr, has_stereo)
+    thr = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
+    inlier = obs_live & (chi2 <= thr)
+    total = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    return BAResult(cam_pose, lm_pos, inlier, total)

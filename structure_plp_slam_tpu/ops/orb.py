@@ -1,0 +1,218 @@
+"""ORB feature extraction: pyramid FAST + IC-angle orientation + rBRIEF.
+
+TPU-native replacement for the reference ORB pipeline
+(src/PLPSLAM/feature/orb_extractor.cc: compute_image_pyramid :315,
+compute_fast_keypoints :328, quadtree distribution :468, IC angle :687,
+descriptor computation :152). Differences by design:
+
+* Keypoint distribution: per-cell top-k + global top-K (see ops/fast.py)
+  instead of a sequential quadtree — same even-spread statistics, static
+  shapes.
+* BRIEF sampling pattern: the reference vendors OpenCV's learned 256-pair
+  table (src/PLPSLAM/feature/orb_point_pairs.h). We deliberately do NOT copy
+  that table; the pattern here is generated once from a fixed PRNG seed with
+  the isotropic Gaussian sampling of the original BRIEF paper (Calonder et
+  al., ECCV 2010: pairs ~ N(0, (patch/5)^2), clipped to the patch). The
+  framework is self-consistent — descriptors only ever match against other
+  descriptors produced here.
+* All levels are processed with static shapes and concatenated into one
+  fixed-capacity keypoint set, with per-level budgets following the same
+  geometric series as the reference (orb_extractor.cc keypoint budgeting).
+
+Output layout (the frame's "features" SoA):
+  xy        [K, 2] f32 — level-0 pixel coordinates (x, y)
+  response  [K]    f32
+  level     [K]    i32
+  angle     [K]    f32 (radians)
+  desc      [K, 8] u32 (256-bit rBRIEF)
+  valid     [K]    bool
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structure_plp_slam_tpu.ops import fast as fast_ops
+from structure_plp_slam_tpu.ops import image as image_ops
+
+PATCH_RADIUS = 15  # IC-angle circular patch radius (31x31 patch).
+BRIEF_RADIUS = 13  # max |offset| of generated BRIEF points (fits rotated in 31x31... see pattern gen)
+EDGE_MARGIN = 19   # keep keypoints this far from borders (orientation+BRIEF).
+
+
+@functools.lru_cache(maxsize=4)
+def _brief_pattern(seed: int = 1234, num_pairs: int = 256) -> np.ndarray:
+    """Generated BRIEF pattern ``[num_pairs, 4]`` = (x0, y0, x1, y1).
+
+    Gaussian with sigma = patch/5 as in the BRIEF paper, clipped to
+    ``BRIEF_RADIUS`` so that any rotation keeps samples inside the 31x31
+    patch (|p| <= 13 -> rotated |p| <= 13*sqrt(2) < 19 = EDGE_MARGIN).
+    """
+    rng = np.random.default_rng(seed)
+    sigma = (2 * BRIEF_RADIUS + 1) / 5.0
+    pts = rng.normal(scale=sigma, size=(num_pairs * 2, 2))
+    pts = np.clip(np.round(pts), -BRIEF_RADIUS, BRIEF_RADIUS).astype(np.int32)
+    return pts.reshape(num_pairs, 4)
+
+
+@functools.lru_cache(maxsize=4)
+def _ic_angle_offsets() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(dy, dx, mask) flattened over the 31x31 patch, circular mask r<=15."""
+    r = PATCH_RADIUS
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    mask = (dy * dy + dx * dx) <= r * r
+    return dy.ravel(), dx.ravel(), mask.ravel().astype(np.float32)
+
+
+def _gather_patches(img, xs, ys, dy, dx):
+    """Gather ``[K, P]`` pixel values at (ys+dy, xs+dx), clipped to bounds."""
+    H, W = img.shape
+    yy = jnp.clip(ys[:, None] + dy[None, :], 0, H - 1)
+    xx = jnp.clip(xs[:, None] + dx[None, :], 0, W - 1)
+    return img[yy, xx]
+
+
+def ic_angles(img, xy):
+    """Intensity-centroid orientation for keypoints ``[K, 2]`` on ``img``.
+
+    Reference: orb_extractor.cc ic_angle (:687): angle = atan2(m01, m10)
+    over a radius-15 circular patch.
+    """
+    dy, dx, mask = _ic_angle_offsets()
+    dyj = jnp.asarray(dy)
+    dxj = jnp.asarray(dx)
+    maskj = jnp.asarray(mask)
+    xs = xy[:, 0].astype(jnp.int32)
+    ys = xy[:, 1].astype(jnp.int32)
+    patches = _gather_patches(img, xs, ys, dyj, dxj)  # [K, P]
+    w = patches * maskj[None, :]
+    m10 = jnp.sum(w * dxj[None, :].astype(jnp.float32), axis=1)
+    m01 = jnp.sum(w * dyj[None, :].astype(jnp.float32), axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(blurred, xy, angles):
+    """Rotated BRIEF: ``[K, 8] uint32`` descriptors.
+
+    Samples the blurred image at pattern points rotated by each keypoint's
+    orientation (reference: orb_extractor.cc compute_orb_descriptor :152).
+    """
+    pat = jnp.asarray(_brief_pattern())  # [256, 4] int32
+    x0, y0, x1, y1 = (pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3])
+    c = jnp.cos(angles)[:, None]
+    s = jnp.sin(angles)[:, None]
+
+    def rot(px, py):
+        rx = jnp.round(c * px[None, :] - s * py[None, :]).astype(jnp.int32)
+        ry = jnp.round(s * px[None, :] + c * py[None, :]).astype(jnp.int32)
+        return rx, ry
+
+    rx0, ry0 = rot(x0.astype(jnp.float32), y0.astype(jnp.float32))
+    rx1, ry1 = rot(x1.astype(jnp.float32), y1.astype(jnp.float32))
+
+    H, W = blurred.shape
+    xs = xy[:, 0].astype(jnp.int32)[:, None]
+    ys = xy[:, 1].astype(jnp.int32)[:, None]
+
+    def sample(rx, ry):
+        yy = jnp.clip(ys + ry, 0, H - 1)
+        xx = jnp.clip(xs + rx, 0, W - 1)
+        return blurred[yy, xx]  # [K, 256]
+
+    bits = sample(rx0, ry0) < sample(rx1, ry1)  # [K, 256] bool
+    # Pack 256 bits -> 8 uint32 words.
+    bits32 = bits.reshape(bits.shape[0], 8, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(bits32 * weights, axis=-1, dtype=jnp.uint32)
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbParams:
+    """Mirrors reference orb_params (src/PLPSLAM/feature/orb_params.h:34-72)."""
+
+    max_num_keypts: int = 2000
+    scale_factor: float = 1.2
+    num_levels: int = 8
+    ini_fast_thr: float = 20.0
+    min_fast_thr: float = 7.0
+
+    def scale_factors(self) -> np.ndarray:
+        return self.scale_factor ** np.arange(self.num_levels, dtype=np.float64)
+
+    def level_budgets(self) -> List[int]:
+        """Per-level keypoint budgets (geometric series, reference scheme)."""
+        f = 1.0 / self.scale_factor
+        total = self.max_num_keypts
+        n0 = total * (1 - f) / (1 - f**self.num_levels)
+        budgets = [int(round(n0 * f**lv)) for lv in range(self.num_levels)]
+        budgets[-1] = max(0, total - sum(budgets[:-1]))
+        # Round up to multiples of 8 for friendlier tiling; keep >= 8.
+        return [max(8, ((b + 7) // 8) * 8) for b in budgets]
+
+
+class OrbExtractor:
+    """Jitted whole-frame ORB extraction for a fixed image geometry.
+
+    One instance per (image size, params); the jitted fn is cached. The
+    total output capacity ``self.capacity`` is the padded sum of level
+    budgets.
+    """
+
+    def __init__(self, rows: int, cols: int, params: OrbParams = OrbParams()):
+        self.rows = rows
+        self.cols = cols
+        self.params = params
+        self.budgets = params.level_budgets()
+        self.capacity = sum(self.budgets)
+        self.shapes = image_ops.pyramid_shapes(
+            rows, cols, params.num_levels, params.scale_factor
+        )
+        self._extract = jax.jit(self._extract_impl)
+
+    def __call__(self, img_gray_f32):
+        """f32 ``[H, W]`` -> feature SoA dict (see module docstring)."""
+        return self._extract(img_gray_f32)
+
+    def _extract_impl(self, img):
+        p = self.params
+        pyr = image_ops.build_pyramid(img, p.num_levels, p.scale_factor)
+        outs = []
+        for lv in range(p.num_levels):
+            lvl_img = pyr[lv]
+            score = fast_ops.fast_score_map(lvl_img, p.ini_fast_thr, p.min_fast_thr)
+            score = fast_ops.nms3x3(score)
+            budget = self.budgets[lv]
+            H, W = self.shapes[lv]
+            cell = 16 if min(H, W) >= 64 else 8
+            xy, resp, valid = fast_ops.select_keypoints(
+                score,
+                cell=cell,
+                per_cell=4,
+                max_total=budget,
+                margin=EDGE_MARGIN,
+            )
+            angle = ic_angles(lvl_img, xy)
+            blurred = image_ops.gaussian_blur(lvl_img)
+            desc = brief_descriptors(blurred, xy, angle)
+            scale = jnp.float32(p.scale_factor**lv)
+            outs.append(
+                dict(
+                    xy=xy * scale,  # level-0 coordinates
+                    response=resp,
+                    level=jnp.full((budget,), lv, jnp.int32),
+                    angle=angle,
+                    desc=desc,
+                    valid=valid,
+                )
+            )
+        return {
+            k: jnp.concatenate([o[k] for o in outs], axis=0)
+            for k in outs[0].keys()
+        }
