@@ -1,0 +1,55 @@
+"""Whole-map snapshot save/load (MessagePack).
+
+Reference: src/PLPSLAM/io/map_database_io.cc:51-180 — a msgpack document
+{cameras, keyfrms, landmarks, ...} written under paused threads; load
+reconstructs the database for localization-only or continued mapping.
+
+Here the map IS a pytree of arrays, so the snapshot is the compacted
+arrays plus counters — loading restores a MapState directly. The document
+keys keep the reference's top-level naming where a counterpart exists.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import msgpack
+import numpy as np
+
+import jax.numpy as jnp
+
+from structure_plp_slam_tpu.data import map_state as ms
+
+_FORMAT_VERSION = 1
+
+
+def _arr(a) -> dict:
+    a = np.asarray(a)
+    return {"dtype": str(a.dtype), "shape": list(a.shape), "data": a.tobytes()}
+
+
+def _unarr(d) -> np.ndarray:
+    return np.frombuffer(d["data"], dtype=np.dtype(d["dtype"])).reshape(d["shape"])
+
+
+def save_map(path: str, state: ms.MapState, *, next_kf: int, next_lm: int,
+             camera_name: str = ""):
+    doc = {
+        "version": _FORMAT_VERSION,
+        "camera_name": camera_name,
+        "keyframe_next_id": next_kf,
+        "landmark_next_id": next_lm,
+        "arrays": {name: _arr(getattr(state, name)) for name in state._fields},
+    }
+    with open(path, "wb") as f:
+        f.write(msgpack.packb(doc, use_bin_type=True))
+
+
+def load_map(path: str) -> Tuple[ms.MapState, int, int]:
+    with open(path, "rb") as f:
+        doc = msgpack.unpackb(f.read(), raw=False)
+    if doc.get("version") != _FORMAT_VERSION:
+        raise ValueError(f"unsupported map snapshot version {doc.get('version')}")
+    arrays = {k: jnp.asarray(_unarr(v)) for k, v in doc["arrays"].items()}
+    state = ms.MapState(**arrays)
+    return state, int(doc["keyframe_next_id"]), int(doc["landmark_next_id"])

@@ -1,0 +1,151 @@
+"""Per-frame feature frontend: image -> padded feature SoA.
+
+Replaces the reference's data::frame construction (src/PLPSLAM/data/
+frame.h:87-164 — 12 constructors for {mono, stereo, RGB-D} x options;
+frame.cc ORB extraction, undistortion, bearing computation, stereo depth,
+grid assignment). Here one jitted function per input modality produces the
+fixed-capacity feature arrays the MapState stores per keyframe:
+
+  xy [N,2] undistorted level-0 coords   xr [N] right x (<0 mono)
+  depth [N]                              level [N], angle [N]
+  desc [N,8] u32                         bearing [N,3]
+  valid [N] bool
+
+Grid-cell bucketing disappears: windowed matching uses dense masked
+distance matrices (ops/matching.py), so no spatial index is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from structure_plp_slam_tpu.camera import base as cam_base
+from structure_plp_slam_tpu.ops import image as image_ops
+from structure_plp_slam_tpu.ops import orb as orb_ops
+
+
+class Frontend:
+    """Feature extraction pipeline bound to a camera + ORB params.
+
+    ``pad_to``: output slot count (the MapState per-keyframe capacity).
+    """
+
+    def __init__(self, camera, orb_params: orb_ops.OrbParams, pad_to: int):
+        self.camera = camera
+        self.extractor = orb_ops.OrbExtractor(camera.rows, camera.cols, orb_params)
+        if pad_to < self.extractor.capacity:
+            raise ValueError(
+                f"pad_to={pad_to} < extractor capacity {self.extractor.capacity}"
+            )
+        self.pad_to = pad_to
+        self.scale_factors = jnp.asarray(
+            orb_params.scale_factors(), jnp.float32
+        )
+        # Per-level information weights: inv_sigma_sq = 1 / scale^2
+        # (reference: orb_params.h inv_level_sigma_sq).
+        self.inv_sigma_sq = 1.0 / (self.scale_factors**2)
+        self._mono = jax.jit(self._mono_impl)
+        self._rgbd = jax.jit(self._rgbd_impl)
+        self._stereo = jax.jit(self._stereo_impl)
+
+    # ------------------------------------------------------------------
+    def mono(self, img_gray):
+        """uint8/f32 [H, W] grayscale -> feature SoA (mono)."""
+        return self._mono(jnp.asarray(img_gray))
+
+    def rgbd(self, img_gray, depth):
+        """Adds per-keypoint depth sampled from the registered depth map and
+        a virtual right-x coordinate (reference: frame.cc RGBD ctor
+        computes x_right = x - fx*baseline/depth)."""
+        return self._rgbd(jnp.asarray(img_gray), jnp.asarray(depth))
+
+    def stereo(self, img_left, img_right):
+        """Rectified stereo pair: left features + disparity-derived depth
+        (reference: frame.cc stereo ctor runs L/R ORB on two std::threads
+        then match::stereo; here both extractions are independent jit
+        subgraphs XLA schedules concurrently)."""
+        return self._stereo(jnp.asarray(img_left), jnp.asarray(img_right))
+
+    # ------------------------------------------------------------------
+    def _pad(self, arr, fill=0):
+        n = arr.shape[0]
+        if n == self.pad_to:
+            return arr
+        pad_width = [(0, self.pad_to - n)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, pad_width, constant_values=fill)
+
+    def _base(self, img):
+        gray = image_ops.to_grayscale(img)
+        feats = self.extractor(gray)
+        xy_und = cam_base.undistort_keypoints(self.camera, feats["xy"])
+        bearing = cam_base.bearings(self.camera, xy_und)
+        return {
+            "xy": self._pad(xy_und),
+            "level": self._pad(feats["level"]),
+            "angle": self._pad(feats["angle"]),
+            "desc": self._pad(feats["desc"]),
+            "bearing": self._pad(bearing),
+            "valid": self._pad(feats["valid"]),
+            "response": self._pad(feats["response"]),
+            # raw (distorted) coords for depth-map sampling
+            "_xy_raw": self._pad(feats["xy"]),
+        }
+
+    def _mono_impl(self, img):
+        out = self._base(img)
+        n = self.pad_to
+        out["xr"] = jnp.full((n,), -1.0, jnp.float32)
+        out["depth"] = jnp.zeros((n,), jnp.float32)
+        out.pop("_xy_raw")
+        return out
+
+    def _rgbd_impl(self, img, depth_map):
+        out = self._base(img)
+        cam = self.camera
+        xy = out.pop("_xy_raw")
+        xs = jnp.clip(xy[:, 0].astype(jnp.int32), 0, cam.cols - 1)
+        ys = jnp.clip(xy[:, 1].astype(jnp.int32), 0, cam.rows - 1)
+        d = depth_map[ys, xs].astype(jnp.float32) * (1.0 / cam.depthmap_factor)
+        has_depth = d > 1e-6
+        safe_d = jnp.where(has_depth, d, 1.0)
+        xr = jnp.where(
+            has_depth, out["xy"][:, 0] - cam.focal_x_baseline / safe_d, -1.0
+        )
+        out["depth"] = jnp.where(has_depth, d, 0.0)
+        out["xr"] = xr
+        return out
+
+    def _stereo_impl(self, imgL, imgR):
+        from structure_plp_slam_tpu.ops import matching, stereo as stereo_ops
+
+        out = self._base(imgL)
+        grayL = image_ops.to_grayscale(imgL)
+        grayR = image_ops.to_grayscale(imgR)
+        featsR = self.extractor(grayR)
+        bitsL = matching.unpack_desc_bits(out["desc"])
+        bitsR = matching.unpack_desc_bits(self._pad(featsR["desc"]))
+        xr, depth, ok = stereo_ops.match_stereo(
+            grayL,
+            grayR,
+            out.pop("_xy_raw"),
+            out["level"],
+            bitsL,
+            out["valid"],
+            self._pad(featsR["xy"]),
+            self._pad(featsR["level"]),
+            bitsR,
+            self._pad(featsR["valid"]),
+            self.scale_factors,
+            focal_x_baseline=self.camera.focal_x_baseline,
+        )
+        out["xr"] = jnp.where(ok, xr, -1.0)
+        out["depth"] = jnp.where(ok, depth, 0.0)
+        return out
+
+    def obs_inv_sigma_sq(self, level):
+        """Per-observation information from pyramid level ``[N] i32``."""
+        return self.inv_sigma_sq[jnp.clip(level, 0, self.inv_sigma_sq.shape[0] - 1)]

@@ -1,0 +1,446 @@
+"""Local mapping: keyframe insertion, landmark creation, fuse, culling, BA.
+
+TPU-native replacement for the reference mapping thread
+(src/PLPSLAM/mapping_module.cc:87-285 and its helpers: store_new_keyframe,
+create_new_landmarks with two_view_triangulator, update_new_keyframe/fuse,
+local_map_cleaner, local BA dispatch). The reference's mapping runs on its
+own thread with a keyframe queue; here each piece is a jitted function the
+host orchestrator calls after keyframe insertion — async dispatch gives the
+pipelining the thread used to.
+
+Slot allocation: the host owns monotonically increasing counters; jitted
+creators compact their valid outputs with a prefix sum and scatter into
+``base_slot + cumsum`` positions, returning the number created.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from structure_plp_slam_tpu.data import map_state as ms
+from structure_plp_slam_tpu.models import bundle_adjustment as ba
+from structure_plp_slam_tpu.ops import lie, matching, triangulation
+from structure_plp_slam_tpu.utils.types import HAMMING_MASKED
+
+
+# ---------------------------------------------------------------------------
+# Keyframe insertion + depth-seeded landmarks (stereo / RGB-D).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("camera",))
+def insert_keyframe(
+    camera,
+    state: ms.MapState,
+    slot,
+    pose,
+    timestamp,
+    feats,
+    kp_lm,
+    base_lm_slot,
+):
+    """Insert a keyframe; for keypoints with measured depth and no landmark,
+    instantiate landmarks directly (reference: keyframe_inserter.cc
+    create_new_landmarks for stereo/RGB-D — nearest-depth seeding).
+
+    Returns (state, num_created).
+    """
+    state = ms.add_keyframe(state, slot, pose, timestamp, feats, kp_lm)
+
+    depth_ok = (
+        (feats["depth"] > 1e-6)
+        & (feats["depth"] < camera.true_depth_threshold)
+        & feats["valid"]
+        & (kp_lm < 0)
+    )
+    # Back-project: world = R^T (z * K^-1 uv~ - t).
+    R, t = pose[:, :3], pose[:, 3]
+    z = feats["depth"]
+    x = (feats["xy"][:, 0] - camera.cx) / camera.fx * z
+    y = (feats["xy"][:, 1] - camera.cy) / camera.fy * z
+    pc = jnp.stack([x, y, z], axis=-1)
+    pw = (pc - t) @ R
+
+    n = feats["xy"].shape[0]
+    order = jnp.cumsum(depth_ok.astype(jnp.int32)) - 1
+    slots = base_lm_slot + order
+    dist = jnp.linalg.norm(pc, axis=-1)
+    level_scale = jnp.power(1.2, feats["level"].astype(jnp.float32))
+    dist_max = dist * level_scale
+    dist_min = dist_max / (1.2**7)
+    view = pw - (-(t @ R))[None, :]
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
+
+    state = ms.add_landmarks(
+        state,
+        slots,
+        pw,
+        feats["desc"],
+        view,
+        dist_min,
+        dist_max,
+        jnp.full((n,), slot, jnp.int32),
+        depth_ok,
+    )
+    new_lm = jnp.where(depth_ok, slots, kp_lm)
+    state = state._replace(kf_lm_idx=state.kf_lm_idx.at[slot].set(new_lm))
+    return state, jnp.sum(depth_ok.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Two-view triangulation with a neighbor keyframe (monocular mapping).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "scale_factor"))
+def triangulate_pair(
+    camera,
+    state: ms.MapState,
+    kf1,
+    kf2,
+    base_lm_slot,
+    *,
+    scale_factor: float = 1.2,
+):
+    """Create landmarks by matching unassociated keypoints of kf1 and kf2
+    along epipolar lines and triangulating (reference:
+    mapping_module.cc:359-601 create_new_landmarks +
+    match::robust::match_for_triangulation + two_view_triangulator).
+
+    Returns (state, num_created).
+    """
+    N = state.kf_xy.shape[1]
+    b1 = state.kf_bearing[kf1]
+    b2 = state.kf_bearing[kf2]
+    free1 = state.kf_kp_valid[kf1] & (state.kf_lm_idx[kf1] < 0)
+    free2 = state.kf_kp_valid[kf2] & (state.kf_lm_idx[kf2] < 0)
+
+    # Relative pose 1->2 and essential matrix for the epipolar gate.
+    R1, t1 = state.kf_pose[kf1, :, :3], state.kf_pose[kf1, :, 3]
+    R2, t2 = state.kf_pose[kf2, :, :3], state.kf_pose[kf2, :, 3]
+    R_21 = R2 @ R1.T
+    t_21 = t2 - R_21 @ t1
+    E = lie.hat(t_21) @ R_21
+
+    bits1 = matching.unpack_desc_bits(state.kf_desc[kf1])
+    bits2 = matching.unpack_desc_bits(state.kf_desc[kf2])
+    d = matching.distance_matrix_mxu(bits1, bits2, free1, free2)
+
+    # Epipolar residual (angular): |b2 . E b1| with both-sided normalization.
+    Eb1 = b1 @ E.T  # [N, 3]
+    num = jnp.einsum("mi,ni->nm", b2, Eb1)  # [N1, N2]
+    d1 = jnp.maximum(jnp.sum(Eb1 * Eb1, axis=-1), 1e-12)[:, None]
+    Etb2 = b2 @ E
+    d2 = jnp.maximum(jnp.sum(Etb2 * Etb2, axis=-1), 1e-12)[None, :]
+    epi = num * num * (1.0 / d1 + 1.0 / d2)
+    # Threshold ~ (1 px / focal)^2, scaled by keypoint level sigma.
+    lvl_sig = jnp.power(scale_factor, state.kf_level[kf1].astype(jnp.float32)) ** 2
+    thr = (2.0 / camera.fx) ** 2 * lvl_sig
+    d = jnp.where(epi <= thr[:, None], d, HAMMING_MASKED)
+
+    best = jnp.argmin(d, axis=1)
+    best_d = jnp.min(d, axis=1)
+    best_rev = jnp.argmin(d, axis=0)
+    ok = (best_d <= 50) & (best_rev[best] == jnp.arange(N))
+
+    # Triangulate world points.
+    b2m = b2[best]
+    pts_w = triangulation.triangulate_two_view(b1, b2m, R1, t1, R2, t2)
+    pts_c1 = pts_w @ R1.T + t1
+    pts_c2 = pts_w @ R2.T + t2
+    depth_ok = (pts_c1[:, 2] > 1e-6) & (pts_c2[:, 2] > 1e-6)
+
+    def reproj_ok(pc, kf, idx):
+        z = jnp.maximum(pc[:, 2], 1e-9)
+        u = camera.fx * pc[:, 0] / z + camera.cx
+        v = camera.fy * pc[:, 1] / z + camera.cy
+        uv = jnp.stack([u, v], -1)
+        obs = state.kf_xy[kf]
+        if idx is not None:
+            obs = obs[idx]
+        err = jnp.sum((uv - obs) ** 2, axis=-1)
+        return err <= 5.991 * lvl_sig
+
+    rp_ok = reproj_ok(pts_c1, kf1, None) & reproj_ok(pts_c2, kf2, best)
+    par = jnp.sum((b1 @ R_21.T) * b2m, axis=-1)
+    parallax_ok = par < 0.99995
+    good = ok & depth_ok & rp_ok & parallax_ok & free1
+
+    order = jnp.cumsum(good.astype(jnp.int32)) - 1
+    slots = base_lm_slot + order
+    dist = jnp.linalg.norm(pts_c1, axis=-1)
+    level_scale = jnp.power(scale_factor, state.kf_level[kf1].astype(jnp.float32))
+    dist_max = dist * level_scale
+    dist_min = dist_max / (scale_factor**7)
+    cam_center1 = -(t1 @ R1)
+    view = pts_w - cam_center1[None, :]
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
+
+    state = ms.add_landmarks(
+        state,
+        slots,
+        pts_w,
+        state.kf_desc[kf1],
+        view,
+        dist_min,
+        dist_max,
+        jnp.full((N,), kf1, jnp.int32),
+        good,
+    )
+    # Register observations in both keyframes.
+    lm1 = jnp.where(good, slots, state.kf_lm_idx[kf1])
+    state = state._replace(kf_lm_idx=state.kf_lm_idx.at[kf1].set(lm1))
+    kf2_col = state.kf_lm_idx[kf2]
+    kf2_new = kf2_col.at[jnp.where(good, best, N)].set(
+        jnp.where(good, slots, -1), mode="drop"
+    )
+    state = state._replace(kf_lm_idx=state.kf_lm_idx.at[kf2].set(kf2_new))
+    return state, jnp.sum(good.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate landmark fusion.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("camera",))
+def fuse_into_keyframe(camera, state: ms.MapState, kf, lm_cand_mask):
+    """Project candidate landmarks into keyframe ``kf``; where they match a
+    keypoint that already references a different landmark, merge the pair
+    (keep the more-observed landmark); where the keypoint is free, add the
+    observation (reference: match::fuse fuse.cc:168 +
+    mapping_module.cc:603-801 update_new_keyframe).
+
+    Returns (state, num_fused).
+    """
+    L = state.lm_pos.shape[0]
+    N = state.kf_xy.shape[1]
+    R, t = state.kf_pose[kf, :, :3], state.kf_pose[kf, :, 3]
+    uv, pc = _project(camera, R, t, state.lm_pos)
+    vis = (
+        lm_cand_mask
+        & state.lm_valid
+        & (pc[:, 2] > 0)
+        & (uv[:, 0] >= 0)
+        & (uv[:, 0] < camera.cols)
+        & (uv[:, 1] >= 0)
+        & (uv[:, 1] < camera.rows)
+    )
+    # Exclude landmarks already observed in kf.
+    obs_here = jnp.zeros((L,), bool).at[
+        jnp.clip(state.kf_lm_idx[kf], 0, L - 1)
+    ].set(state.kf_lm_idx[kf] >= 0)
+    vis = vis & ~obs_here
+
+    lm_bits = matching.unpack_desc_bits(state.lm_desc)
+    kp_bits = matching.unpack_desc_bits(state.kf_desc[kf])
+    kp_best, d_best = matching.match_by_projection(
+        uv,
+        jnp.zeros((L,), jnp.int32),
+        lm_bits,
+        vis,
+        state.kf_xy[kf],
+        state.kf_level[kf],
+        kp_bits,
+        state.kf_kp_valid[kf],
+        radius_by_level=jnp.full((8,), 3.0, jnp.float32),
+        max_hamming=50,
+        level_window=8,
+    )
+    matched = kp_best >= 0
+    safe_kp = jnp.where(matched, kp_best, N)
+    existing = jnp.concatenate([state.kf_lm_idx[kf], jnp.array([-1])])[safe_kp]
+
+    counts = ms.landmark_observation_counts(state)
+    lm_ids = jnp.arange(L, dtype=jnp.int32)
+    # Case A: keypoint free -> register observation.
+    free_kp = matched & (existing < 0)
+    col = state.kf_lm_idx[kf]
+    col = col.at[jnp.where(free_kp, safe_kp, N)].set(
+        jnp.where(free_kp, lm_ids, -1), mode="drop"
+    )
+    state = state._replace(kf_lm_idx=state.kf_lm_idx.at[kf].set(col))
+
+    # Case B: keypoint already has another landmark -> merge: the landmark
+    # with fewer observations is replaced by the other everywhere.
+    dup = matched & (existing >= 0) & (existing != lm_ids)
+    keep_other = counts[jnp.clip(existing, 0, L - 1)] >= counts
+    src = jnp.where(dup, jnp.where(keep_other, lm_ids, existing), -1)  # dies
+    dst = jnp.where(dup, jnp.where(keep_other, existing, lm_ids), -1)  # lives
+    # Build a replacement table old->new (identity elsewhere).
+    table = jnp.arange(L + 1, dtype=jnp.int32)
+    table = table.at[jnp.where(dup, src, L)].set(
+        jnp.where(dup, dst, -1), mode="drop"
+    )
+    remap = table[jnp.clip(state.kf_lm_idx, 0, L)]
+    new_idx = jnp.where(state.kf_lm_idx >= 0, remap, state.kf_lm_idx)
+    dead = jnp.zeros((L,), bool).at[jnp.where(dup, src, L)].set(dup, mode="drop")
+    state = state._replace(
+        kf_lm_idx=new_idx, lm_valid=state.lm_valid & ~dead
+    )
+    return state, jnp.sum(free_kp) + jnp.sum(dup)
+
+
+def _project(camera, R, t, pts):
+    pc = pts @ R.T + t
+    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+    u = camera.fx * pc[:, 0] / z + camera.cx
+    v = camera.fy * pc[:, 1] / z + camera.cy
+    return jnp.stack([u, v], -1), pc
+
+
+# ---------------------------------------------------------------------------
+# Culling (local_map_cleaner semantics as mask updates).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def cull_landmarks(state: ms.MapState, current_kf, recent_window: int = 2):
+    """Remove unreliable recent landmarks: observed-ratio < 0.3, or created
+    >= ``recent_window`` keyframes ago but observed by <= 2 keyframes
+    (reference: local_map_cleaner.cc:51; plane-owned landmarks exempt :83).
+    """
+    counts = ms.landmark_observation_counts(state)
+    ratio = state.lm_n_fnd.astype(jnp.float32) / jnp.maximum(
+        state.lm_n_vis.astype(jnp.float32), 1.0
+    )
+    age = current_kf - state.lm_ref_kf
+    bad = state.lm_valid & (
+        (ratio < 0.3) | ((age >= recent_window) & (counts <= 2))
+    )
+    bad = bad & (state.lm_plane < 0)
+    return ms.remove_landmarks(state, bad), jnp.sum(bad)
+
+
+@jax.jit
+def cull_keyframes(state: ms.MapState, protect_kf):
+    """Remove redundant keyframes: >= 90% of their landmarks are observed
+    by >= 3 other keyframes (reference: local_map_cleaner.cc:201; the scale
+    condition is dropped — masked matching replaces the scale-bucketed
+    redundancy test)."""
+    counts = ms.landmark_observation_counts(state)
+    lm = state.kf_lm_idx
+    has = (lm >= 0) & state.kf_kp_valid
+    c = counts[jnp.clip(lm, 0, None)]
+    redundant_obs = has & (c >= 4)  # >= 3 others + itself
+    n_obs = jnp.sum(has, axis=1)
+    n_red = jnp.sum(redundant_obs, axis=1)
+    frac = n_red.astype(jnp.float32) / jnp.maximum(n_obs.astype(jnp.float32), 1.0)
+    bad = state.kf_valid & (frac >= 0.9) & (n_obs > 0)
+    bad = bad.at[0].set(False)  # origin keyframe is permanent
+    bad = bad.at[protect_kf].set(False)
+    return ms.remove_keyframes(state, bad), jnp.sum(bad)
+
+
+# ---------------------------------------------------------------------------
+# Local BA window extraction + solve + write-back.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("camera", "max_opt", "max_fix", "max_lms")
+)
+def local_ba(
+    camera,
+    state: ms.MapState,
+    current_kf,
+    inv_sigma_sq_table,
+    *,
+    max_opt: int = 16,
+    max_fix: int = 16,
+    max_lms: int = 4096,
+):
+    """Local bundle adjustment around ``current_kf``.
+
+    Window selection mirrors local_bundle_adjuster.cc:73-135: optimized
+    cameras = covisibles of current (top ``max_opt`` by weight), landmarks =
+    those they observe (first ``max_lms``), fixed cameras = other observers
+    (first ``max_fix``). Returns (state, chi2).
+    """
+    K = state.kf_pose.shape[0]
+    L = state.lm_pos.shape[0]
+    N = state.kf_xy.shape[1]
+
+    ind = ms.observation_indicator(state)  # [K, L]
+    W_cur = ind @ ind[current_kf]
+    W_cur = jnp.where(state.kf_valid, W_cur, -1.0)
+    W_cur = W_cur.at[current_kf].set(1e9)  # current always first
+    _, opt_kfs = jax.lax.top_k(W_cur, max_opt)  # [max_opt]
+    opt_ok = W_cur[opt_kfs] >= 15.0
+    opt_ok = opt_ok.at[0].set(True)
+
+    opt_mask = jnp.zeros((K,), bool).at[opt_kfs].set(opt_ok)
+    lm_mask = ms.local_landmark_mask(state, opt_mask)
+    lm_idx = jnp.nonzero(lm_mask, size=max_lms, fill_value=-1)[0]
+    lm_ok = lm_idx >= 0
+    lm_safe = jnp.clip(lm_idx, 0, L - 1)
+
+    # Fixed keyframes: observe local landmarks but are not optimized.
+    sees_local = (ind @ lm_mask.astype(jnp.float32)) > 0
+    fix_cand = sees_local & state.kf_valid & ~opt_mask
+    fix_idx = jnp.nonzero(fix_cand, size=max_fix, fill_value=-1)[0]
+    fix_ok = fix_idx >= 0
+
+    cams = jnp.concatenate([opt_kfs, jnp.clip(fix_idx, 0, K - 1)])  # [C]
+    cam_ok = jnp.concatenate([opt_ok, fix_ok])
+    cam_fixed = jnp.concatenate(
+        [jnp.zeros((max_opt,), bool), jnp.ones((max_fix,), bool)]
+    )
+    # Keep the map's gauge: fix the oldest keyframe in the window if it is
+    # keyframe 0; otherwise fixed borders anchor it.
+    cam_fixed = cam_fixed | (cams == 0)
+
+    # Global -> local landmark lookup.
+    g2l = jnp.full((L + 1,), -1, jnp.int32)
+    g2l = g2l.at[jnp.where(lm_ok, lm_safe, L)].set(
+        jnp.where(lm_ok, jnp.arange(max_lms, dtype=jnp.int32), -1), mode="drop"
+    )
+
+    C = max_opt + max_fix
+    obs_lm_g = state.kf_lm_idx[cams]  # [C, N]
+    obs_lm_l = g2l[jnp.clip(obs_lm_g, 0, L)]
+    obs_valid = (
+        (obs_lm_g >= 0)
+        & (obs_lm_l >= 0)
+        & state.kf_kp_valid[cams]
+        & cam_ok[:, None]
+    )
+    obs_cam = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, N))
+    info = inv_sigma_sq_table[jnp.clip(state.kf_level[cams], 0, inv_sigma_sq_table.shape[0] - 1)]
+
+    prob = ba.BAProblem(
+        cam_pose=state.kf_pose[cams],
+        cam_fixed=cam_fixed,
+        cam_valid=cam_ok,
+        lm_pos=state.lm_pos[lm_safe],
+        lm_valid=lm_ok,
+        obs_cam=obs_cam.reshape(-1),
+        obs_lm=jnp.clip(obs_lm_l, 0, max_lms - 1).reshape(-1),
+        obs_uv=state.kf_xy[cams].reshape(-1, 2),
+        obs_xr=state.kf_xr[cams].reshape(-1),
+        obs_inv_sigma_sq=info.reshape(-1),
+        obs_valid=obs_valid.reshape(-1),
+    )
+    result = ba.ba_solve(camera, prob)
+
+    # Write back optimized poses (opt cameras only) and landmark positions.
+    write_cam = (~cam_fixed) & cam_ok
+    new_pose = state.kf_pose.at[jnp.where(write_cam, cams, K)].set(
+        jnp.where(write_cam[:, None, None], result.cam_pose, 0.0), mode="drop"
+    )
+    new_lm = state.lm_pos.at[jnp.where(lm_ok, lm_safe, L)].set(
+        jnp.where(lm_ok[:, None], result.lm_pos, 0.0), mode="drop"
+    )
+    # Detach outlier observations found by BA.
+    inl = result.obs_inlier.reshape(C, N)
+    kf_lm = state.kf_lm_idx
+    bad_obs = obs_valid & ~inl
+    kf_lm = kf_lm.at[jnp.clip(cams, 0, K - 1)[:, None], jnp.arange(N)[None, :]].set(
+        jnp.where(bad_obs, -1, obs_lm_g)
+    )
+    state = state._replace(kf_pose=new_pose, lm_pos=new_lm, kf_lm_idx=kf_lm)
+    return state, result.chi2

@@ -36,19 +36,22 @@ def resize_bilinear(img, out_hw):
 
 
 @functools.lru_cache(maxsize=32)
-def _gaussian_kernel_1d(ksize: int, sigma: float):
+def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    # Pure numpy on purpose: the result is cached across calls, and a jnp
+    # array materialized inside a jit trace must never be cached (it would
+    # be a leaked tracer when reused from another trace).
     half = ksize // 2
     x = np.arange(-half, half + 1, dtype=np.float64)
     k = np.exp(-(x * x) / (2.0 * sigma * sigma))
     k /= k.sum()
-    return jnp.asarray(k, jnp.float32)
+    return k.astype(np.float32)
 
 
 def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur with replicate padding (matches
     cv::GaussianBlur(7,7,2,2,BORDER_REFLECT_101) closely enough for BRIEF).
     """
-    k = _gaussian_kernel_1d(ksize, sigma)
+    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
     half = ksize // 2
     x = jnp.pad(img, ((half, half), (0, 0)), mode="reflect")
     # Convolve rows then cols via conv_general_dilated on [1, 1, H, W].

@@ -1,0 +1,284 @@
+"""Distributed Schur-complement bundle adjustment over a device mesh.
+
+The reference has NO distributed backend (SURVEY.md §2.14); this module is
+the scaling capability the TPU build adds on top. The partition follows the
+natural BA sparsity:
+
+* landmark blocks (Hll, W, bl) are SHARDED over the mesh axis ``lm`` —
+  each device owns a disjoint set of landmarks and ALL observations of
+  those landmarks (observations are partitioned by landmark id);
+* the reduced camera system S = Hcc - sum_m W_m Hll_m^-1 W_m^T is formed
+  locally per shard and summed with ONE ``psum`` per iteration (the only
+  collective — it rides ICI);
+* every device solves the small replicated camera system redundantly
+  (C <= dozens; cheaper than sharding a 6C x 6C Cholesky) and
+  back-substitutes its own landmarks locally.
+
+This is the standard "shard the big block-diagonal factor, replicate the
+small dense factor, psum the reduction" recipe, applied to BA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from structure_plp_slam_tpu.models.bundle_adjustment import BAProblem
+from structure_plp_slam_tpu.ops import lie, robust
+
+
+class ShardedBAProblem(NamedTuple):
+    """Per-device arrays: leading dim of lm_* is M_shard; obs_* is O_shard.
+    Camera arrays are replicated. ``obs_lm`` indexes the LOCAL landmark
+    shard."""
+
+    cam_pose: jax.Array
+    cam_fixed: jax.Array
+    cam_valid: jax.Array
+    lm_pos: jax.Array        # [n_shards * M_shard, 3] (sharded on axis 0)
+    lm_valid: jax.Array
+    obs_cam: jax.Array       # [n_shards * O_shard]
+    obs_lm: jax.Array        # local landmark index within the shard
+    obs_uv: jax.Array
+    obs_xr: jax.Array
+    obs_inv_sigma_sq: jax.Array
+    obs_valid: jax.Array
+
+
+def shard_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
+    """Host-side partition of a BAProblem by landmark id (block-cyclic).
+
+    Observations move to the shard owning their landmark; both landmark and
+    observation arrays are padded to equal per-shard sizes.
+    """
+    M = int(prob.lm_pos.shape[0])
+    O = int(prob.obs_cam.shape[0])
+    M_shard = -(-M // n_shards)
+    lm_pos = np.zeros((n_shards, M_shard, 3), np.float32)
+    lm_valid = np.zeros((n_shards, M_shard), bool)
+    owner = np.arange(M) % n_shards
+    local_id = np.arange(M) // n_shards
+
+    lp = np.asarray(prob.lm_pos)
+    lv = np.asarray(prob.lm_valid)
+    for m in range(M):
+        lm_pos[owner[m], local_id[m]] = lp[m]
+        lm_valid[owner[m], local_id[m]] = lv[m]
+
+    obs_lm = np.asarray(prob.obs_lm)
+    obs_owner = owner[obs_lm]
+    counts = np.bincount(obs_owner, minlength=n_shards)
+    O_shard = max(1, int(counts.max()))
+
+    def alloc(shape_tail, dtype, fill=0):
+        return np.full((n_shards, O_shard) + shape_tail, fill, dtype)
+
+    s_cam = alloc((), np.int32)
+    s_lm = alloc((), np.int32)
+    s_uv = alloc((2,), np.float32)
+    s_xr = alloc((), np.float32, -1.0)
+    s_info = alloc((), np.float32)
+    s_valid = alloc((), bool, False)
+
+    cursor = np.zeros(n_shards, np.int64)
+    oc = np.asarray(prob.obs_cam)
+    ouv = np.asarray(prob.obs_uv)
+    oxr = np.asarray(prob.obs_xr)
+    oinfo = np.asarray(prob.obs_inv_sigma_sq)
+    oval = np.asarray(prob.obs_valid)
+    for o in range(O):
+        sh = obs_owner[o]
+        i = cursor[sh]
+        cursor[sh] += 1
+        s_cam[sh, i] = oc[o]
+        s_lm[sh, i] = local_id[obs_lm[o]]
+        s_uv[sh, i] = ouv[o]
+        s_xr[sh, i] = oxr[o]
+        s_info[sh, i] = oinfo[o]
+        s_valid[sh, i] = oval[o]
+
+    return ShardedBAProblem(
+        cam_pose=prob.cam_pose,
+        cam_fixed=prob.cam_fixed,
+        cam_valid=prob.cam_valid,
+        lm_pos=jnp.asarray(lm_pos.reshape(n_shards * M_shard, 3)),
+        lm_valid=jnp.asarray(lm_valid.reshape(-1)),
+        obs_cam=jnp.asarray(s_cam.reshape(-1)),
+        obs_lm=jnp.asarray(s_lm.reshape(-1)),
+        obs_uv=jnp.asarray(s_uv.reshape(-1, 2)),
+        obs_xr=jnp.asarray(s_xr.reshape(-1)),
+        obs_inv_sigma_sq=jnp.asarray(s_info.reshape(-1)),
+        obs_valid=jnp.asarray(s_valid.reshape(-1)),
+    )
+
+
+def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
+                        damping: float = 1e-4):
+    """Build the pjit-ted distributed BA step for ``mesh`` (axis 'lm').
+
+    Returns ``fn(sharded_prob) -> (cam_pose, lm_pos)`` where lm arrays are
+    sharded over 'lm' and camera arrays replicated.
+    """
+    axis = "lm"
+
+    def shard_body(cam_pose0, cam_fixed, cam_valid, lm_pos0, lm_valid,
+                   obs_cam, obs_lm, obs_uv, obs_xr, obs_info, obs_valid):
+        C = cam_pose0.shape[0]
+        M = lm_pos0.shape[0]  # local shard size
+        has_stereo = obs_xr >= 0.0
+        obs_live = obs_valid & cam_valid[obs_cam] & lm_valid[obs_lm]
+
+        def iteration(carry, _):
+            cam_pose, lm_pos = carry
+            R = cam_pose[obs_cam, :, :3]
+            t = cam_pose[obs_cam, :, 3]
+            X = lm_pos[obs_lm]
+            pc = jnp.einsum("oij,oj->oi", R, X) + t
+            z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+            u = camera.fx * pc[:, 0] / z + camera.cx
+            v = camera.fy * pc[:, 1] / z + camera.cy
+            r_uv = jnp.stack([u, v], -1) - obs_uv
+            r_xr = (u - camera.focal_x_baseline / z) - obs_xr
+            chi2 = jnp.sum(r_uv * r_uv, -1) * obs_info + jnp.where(
+                has_stereo, r_xr * r_xr * obs_info, 0.0
+            )
+            delta_sq = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
+            w = jnp.where(
+                obs_live & (pc[:, 2] > 1e-6),
+                robust.huber_weight(chi2, delta_sq) * obs_info,
+                0.0,
+            )
+            iz = 1.0 / z
+            iz2 = iz * iz
+            fx, fy, fxb = camera.fx, camera.fy, camera.focal_x_baseline
+            zero = jnp.zeros_like(z)
+            J_uv_pc = jnp.stack(
+                [
+                    jnp.stack([fx * iz, zero, -fx * pc[:, 0] * iz2], -1),
+                    jnp.stack([zero, fy * iz, -fy * pc[:, 1] * iz2], -1),
+                ],
+                axis=-2,
+            )
+            J_xr_pc = jnp.stack(
+                [fx * iz, zero, -fx * pc[:, 0] * iz2 + fxb * iz2], -1
+            )
+            dpc = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3)
+                    ),
+                    -lie.hat(pc),
+                ],
+                axis=-1,
+            )
+            Jc2 = J_uv_pc @ dpc
+            Jl2 = J_uv_pc @ R
+            Jc3 = (J_xr_pc[:, None, :] @ dpc)[:, 0]
+            Jl3 = (J_xr_pc[:, None, :] @ R)[:, 0]
+            w_st = jnp.where(has_stereo, w, 0.0)
+
+            Hcc_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jc2) + \
+                jnp.einsum("oi,oj->oij", Jc3 * w_st[:, None], Jc3)
+            Hll_o = jnp.einsum("ori,orj->oij", Jl2 * w[:, None, None], Jl2) + \
+                jnp.einsum("oi,oj->oij", Jl3 * w_st[:, None], Jl3)
+            Hcl_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jl2) + \
+                jnp.einsum("oi,oj->oij", Jc3 * w_st[:, None], Jl3)
+            bc_o = -(jnp.einsum("ori,or->oi", Jc2 * w[:, None, None], r_uv)
+                     + Jc3 * (w_st * r_xr)[:, None])
+            bl_o = -(jnp.einsum("ori,or->oi", Jl2 * w[:, None, None], r_uv)
+                     + Jl3 * (w_st * r_xr)[:, None])
+
+            # Local (shard) reductions.
+            Hcc = jnp.zeros((C, 6, 6), jnp.float32).at[obs_cam].add(Hcc_o)
+            bc = jnp.zeros((C, 6), jnp.float32).at[obs_cam].add(bc_o)
+            Hll = jnp.zeros((M, 3, 3), jnp.float32).at[obs_lm].add(Hll_o)
+            bl = jnp.zeros((M, 3), jnp.float32).at[obs_lm].add(bl_o)
+            W = jnp.zeros((M, C, 6, 3), jnp.float32).at[obs_lm, obs_cam].add(
+                Hcl_o
+            )
+
+            lam_l = damping * jnp.maximum(
+                jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+            )
+            Hll_inv = jnp.linalg.inv(
+                Hll + lam_l * jnp.eye(3, dtype=jnp.float32)[None]
+            )
+            WHinv = jnp.einsum("mcij,mjk->mcik", W, Hll_inv)
+            S_red_local = jnp.einsum("mcik,mdjk->cdij", WHinv, W)
+            rhs_local = bc - jnp.einsum("mcik,mk->ci", WHinv, bl)
+
+            # THE collective: reduce the camera system across landmark shards.
+            Hcc_g = jax.lax.psum(Hcc, axis)
+            S_red = jax.lax.psum(S_red_local, axis)
+            rhs = jax.lax.psum(rhs_local, axis)
+
+            S = -S_red
+            S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc_g)
+            free = (~cam_fixed) & cam_valid
+            free_f = free.astype(jnp.float32)
+            S = S * free_f[:, None, None, None] * free_f[None, :, None, None]
+            S = S.at[jnp.arange(C), jnp.arange(C)].add(
+                jnp.where(free[:, None, None], 0.0, 1.0) * jnp.eye(6)[None]
+            )
+            diag_scale = damping * jnp.maximum(
+                jnp.trace(S[jnp.arange(C), jnp.arange(C)], axis1=-2, axis2=-1)
+                / 6.0,
+                1e-6,
+            )
+            S = S.at[jnp.arange(C), jnp.arange(C)].add(
+                diag_scale[:, None, None] * jnp.eye(6)[None]
+            )
+            rhs = rhs * free_f[:, None]  # fixed cameras: zero rhs so
+            # their (identity-row) solution is 0 — dx_c feeds the landmark
+            # back-substitution, so garbage here would poison dx_l.
+            S_dense = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
+            rhs_dense = rhs.reshape(6 * C)
+            Lc, low = jax.scipy.linalg.cho_factor(S_dense, lower=True)
+            dx_c = jax.scipy.linalg.cho_solve((Lc, low), rhs_dense).reshape(C, 6)
+
+            Wt_dxc = jnp.einsum("mcij,ci->mj", W, dx_c)
+            dx_l = jnp.einsum("mij,mj->mi", Hll_inv, bl - Wt_dxc)
+
+            ok = jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dx_l))
+            dx_c = jnp.where(ok, dx_c, 0.0)
+            dx_l = jnp.where(ok, dx_l, 0.0)
+
+            R_new, t_new = lie.se3_update(cam_pose[:, :, :3], cam_pose[:, :, 3], dx_c)
+            cam_new = jnp.where(
+                free[:, None, None], lie.pack_pose(R_new, t_new), cam_pose
+            )
+            lm_new = jnp.where(lm_valid[:, None], lm_pos + dx_l, lm_pos)
+            return (cam_new, lm_new), None
+
+        (cam_pose, lm_pos), _ = jax.lax.scan(
+            iteration, (cam_pose0, lm_pos0), None, length=num_iters
+        )
+        return cam_pose, lm_pos
+
+    rep = P()
+    lm_sharded = P(axis)
+    fn = jax.jit(
+        jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, lm_sharded, lm_sharded,
+                      lm_sharded, lm_sharded, lm_sharded, lm_sharded,
+                      lm_sharded, lm_sharded),
+            out_specs=(rep, lm_sharded),
+            check_vma=False,
+        )
+    )
+
+    def run(sp: ShardedBAProblem):
+        return fn(
+            sp.cam_pose, sp.cam_fixed, sp.cam_valid, sp.lm_pos, sp.lm_valid,
+            sp.obs_cam, sp.obs_lm, sp.obs_uv, sp.obs_xr, sp.obs_inv_sigma_sq,
+            sp.obs_valid,
+        )
+
+    return run

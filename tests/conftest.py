@@ -4,20 +4,17 @@ Multi-chip hardware is not available in CI; sharding tests use XLA's
 host-platform device emulation (the substitute for the reference's
 nonexistent multi-node testing — see SURVEY.md §4).
 
-Must run before the first ``import jax`` anywhere in the test process.
+NOTE on platform forcing: the environment registers a TPU plugin from
+sitecustomize at interpreter startup, which reads JAX_PLATFORMS before any
+test code runs — setting the env var here is too late. The live config API
+still works, and keeps the TPU backend from ever initializing (the chip is
+exclusive; tests must not contend with bench.py for it).
 """
 
-import os
+import jax
 
-# Force CPU: the harness presets JAX_PLATFORMS=axon (one exclusive TPU chip);
-# tests must not grab it (bench.py does).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -92,10 +92,22 @@ def _pose_errors(result, poses_gt):
 def test_ba_converges_exact(rng):
     cam, prob, poses, pts = _make_problem(rng)
     res = ba.ba_solve(cam, prob, num_iters=10, cull_at_iters=())
+    # Perfect observations -> reprojection error must vanish.
+    assert float(res.chi2) < 1e-4
     errs_R, errs_t = _pose_errors(res, poses)
     assert errs_R.max() < 1e-3
-    assert errs_t.max() < 5e-3
-    lm_err = np.linalg.norm(np.asarray(res.lm_pos) - pts, axis=1)
+    # Mono BA with a single fixed camera has a free global scale (7th gauge
+    # DoF); compare translations after scale alignment on camera centers.
+    est = np.asarray(res.cam_pose)
+    C_est = np.stack([-e[:, :3].T @ e[:, 3] for e in est])
+    C_gt = np.stack([-R.T @ t for R, t in poses])
+    num = np.linalg.norm(C_gt[1:] - C_gt[0], axis=1)
+    den = np.linalg.norm(C_est[1:] - C_est[0], axis=1)
+    s = np.median(num / np.maximum(den, 1e-12))
+    C_aligned = C_est[0] + s * (C_est - C_est[0])
+    assert np.linalg.norm(C_aligned - C_gt, axis=1).max() < 5e-3
+    lm_aligned = C_est[0] + s * (np.asarray(res.lm_pos) - C_est[0])
+    lm_err = np.linalg.norm(lm_aligned - pts, axis=1)
     assert np.median(lm_err) < 1e-2
 
 
