@@ -77,7 +77,7 @@ def main():
     def step(img):
         feats = fe.mono(img)
         return tracker.track_frame(
-            cam, state, feats, R, t, last, fe.inv_sigma_sq,
+            cam, state, feats, R, t, last, jnp.int32(0), fe.inv_sigma_sq,
             num_levels=8, scale_factor=1.2,
         )
 

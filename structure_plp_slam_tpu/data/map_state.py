@@ -60,6 +60,23 @@ class MapState(NamedTuple):
     lm_n_vis: jax.Array      # [L] i32 num_observable (tracking visibility)
     lm_n_fnd: jax.Array      # [L] i32 num_observed (actually matched)
     lm_plane: jax.Array      # [L] i32 owning plane id (-1)
+    # --- line landmarks (Plücker) + per-keyframe segment observations ----
+    # (reference: data/landmark_line.{h,cc} + frame keyline storage)
+    kf_seg: jax.Array        # [K, ML, 4] f32 segment endpoints (x1,y1,x2,y2)
+    kf_seg_depth: jax.Array  # [K, ML, 2] f32 endpoint depths (<=0 unknown)
+    kf_seg_desc: jax.Array   # [K, ML, LD] f32 band descriptors
+    kf_seg_valid: jax.Array  # [K, ML] bool
+    kf_line_idx: jax.Array   # [K, ML] i32 3D-line id per segment (-1)
+    ln_pluck: jax.Array      # [L2, 6] f32 Plücker [m, d]
+    ln_endpoints: jax.Array  # [L2, 6] f32 world endpoints (p1, p2)
+    ln_desc: jax.Array       # [L2, LD] f32 representative descriptor
+    ln_valid: jax.Array      # [L2] bool
+    ln_ref_kf: jax.Array     # [L2] i32
+    # --- plane landmarks (reference: data/landmark_plane.{h,cc}) ---------
+    pl_coef: jax.Array       # [P, 4] f32 plane (n, d): n.x + d = 0, |n|=1
+    pl_valid: jax.Array      # [P] bool
+    pl_needs_refresh: jax.Array  # [P] bool (needs-refinement state)
+    pl_ref_kf: jax.Array     # [P] i32
 
     @property
     def max_keyframes(self) -> int:
@@ -74,8 +91,12 @@ class MapState(NamedTuple):
         return self.lm_pos.shape[0]
 
 
-def create(max_keyframes: int = 256, max_kps: int = 1024, max_landmarks: int = 16384):
+def create(max_keyframes: int = 256, max_kps: int = 1024, max_landmarks: int = 16384,
+           max_lines_per_kf: int = 64, max_line_landmarks: int = 2048,
+           line_desc_dim: int = 18, max_planes: int = 64):
     K, N, L = max_keyframes, max_kps, max_landmarks
+    ML, L2, LD = max_lines_per_kf, max_line_landmarks, line_desc_dim
+    P = max_planes
     f32 = jnp.float32
     return MapState(
         kf_pose=jnp.tile(
@@ -103,6 +124,20 @@ def create(max_keyframes: int = 256, max_kps: int = 1024, max_landmarks: int = 1
         lm_n_vis=jnp.zeros((L,), jnp.int32),
         lm_n_fnd=jnp.zeros((L,), jnp.int32),
         lm_plane=jnp.full((L,), -1, jnp.int32),
+        kf_seg=jnp.zeros((K, ML, 4), f32),
+        kf_seg_depth=jnp.zeros((K, ML, 2), f32),
+        kf_seg_desc=jnp.zeros((K, ML, LD), f32),
+        kf_seg_valid=jnp.zeros((K, ML), bool),
+        kf_line_idx=jnp.full((K, ML), -1, jnp.int32),
+        ln_pluck=jnp.zeros((L2, 6), f32),
+        ln_endpoints=jnp.zeros((L2, 6), f32),
+        ln_desc=jnp.zeros((L2, LD), f32),
+        ln_valid=jnp.zeros((L2,), bool),
+        ln_ref_kf=jnp.full((L2,), -1, jnp.int32),
+        pl_coef=jnp.zeros((P, 4), f32),
+        pl_valid=jnp.zeros((P,), bool),
+        pl_needs_refresh=jnp.zeros((P,), bool),
+        pl_ref_kf=jnp.full((P,), -1, jnp.int32),
     )
 
 
@@ -166,7 +201,22 @@ def local_landmark_mask(state: MapState, kf_mask):
 
 def add_keyframe(state: MapState, slot, pose, timestamp, feats, lm_idx):
     """Write one keyframe into ``slot``. ``feats`` is the frame feature SoA
-    (xy/xr/depth/level/angle/desc/bearing/valid padded to max_kps)."""
+    (xy/xr/depth/level/angle/desc/bearing/valid padded to max_kps; optional
+    line keys seg/seg_desc/seg_valid)."""
+    if "seg" in feats:
+        state = state._replace(
+            kf_seg=state.kf_seg.at[slot].set(feats["seg"]),
+            kf_seg_depth=state.kf_seg_depth.at[slot].set(
+                feats.get(
+                    "seg_depth", jnp.zeros_like(state.kf_seg_depth[slot])
+                )
+            ),
+            kf_seg_desc=state.kf_seg_desc.at[slot].set(feats["seg_desc"]),
+            kf_seg_valid=state.kf_seg_valid.at[slot].set(feats["seg_valid"]),
+            kf_line_idx=state.kf_line_idx.at[slot].set(
+                jnp.full_like(state.kf_line_idx[slot], -1)
+            ),
+        )
     return state._replace(
         kf_pose=state.kf_pose.at[slot].set(pose),
         kf_valid=state.kf_valid.at[slot].set(True),

@@ -223,8 +223,8 @@ def ba_solve(
         dx_l = jnp.einsum("mij,mj->mi", Hll_inv, bl - Wt_dxc)
 
         ok = jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dx_l))
-        dx_c = jnp.where(ok, dx_c, 0.0)
-        dx_l = jnp.where(ok, dx_l, 0.0)
+        dx_c = jnp.where(ok, lie.clamp_tangent(dx_c, 0.3, 5.0), 0.0)
+        dx_l = jnp.where(ok, jnp.clip(dx_l, -5.0, 5.0), 0.0)
 
         R_new, t_new = lie.se3_update(
             cam_pose[:, :, :3], cam_pose[:, :, 3], dx_c
@@ -256,6 +256,13 @@ def ba_solve(
         (prob.cam_pose, prob.lm_pos, obs_live0),
         jnp.arange(num_iters),
     )
+    # Re-project rotations onto SO(3); fixed cameras keep their exact input
+    # pose (the quaternion round trip is not bit-exact).
+    cam_pose = lie.pack_pose(
+        lie.orthonormalize(cam_pose[:, :, :3]), cam_pose[:, :, 3]
+    )
+    free_out = (~prob.cam_fixed) & prob.cam_valid
+    cam_pose = jnp.where(free_out[:, None, None], cam_pose, prob.cam_pose)
 
     _, r_uv, r_xr = _project_residuals(camera, cam_pose, lm_pos, prob)
     chi2 = _obs_chi2(prob, r_uv, r_xr, has_stereo)

@@ -34,7 +34,10 @@ class Frontend:
     ``pad_to``: output slot count (the MapState per-keyframe capacity).
     """
 
-    def __init__(self, camera, orb_params: orb_ops.OrbParams, pad_to: int):
+    def __init__(self, camera, orb_params: orb_ops.OrbParams, pad_to: int,
+                 with_lines: bool = False, max_lines: int = 64):
+        self.with_lines = with_lines
+        self.max_lines = max_lines
         self.camera = camera
         self.extractor = orb_ops.OrbExtractor(camera.rows, camera.cols, orb_params)
         if pad_to < self.extractor.capacity:
@@ -53,15 +56,67 @@ class Frontend:
         self._stereo = jax.jit(self._stereo_impl)
 
     # ------------------------------------------------------------------
-    def mono(self, img_gray):
-        """uint8/f32 [H, W] grayscale -> feature SoA (mono)."""
-        return self._mono(jnp.asarray(img_gray))
+    def _lines(self, img, out, key, depth_map=None):
+        """Attach line-segment features (reference: the ±line frame
+        constructors, frame.h:87-164 line variants + LineFeatureTracker).
 
-    def rgbd(self, img_gray, depth):
+        With a depth map, endpoint depths are sampled slightly inside the
+        segment (median of a few samples — segment edges sit on depth
+        discontinuities) for direct RGB-D line instantiation.
+        """
+        import jax
+
+        from structure_plp_slam_tpu.ops import lines as line_ops
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        gray = image_ops.to_grayscale(jnp.asarray(img))
+        seg, valid, _ = line_ops.detect_line_segments(
+            gray, key, max_lines=self.max_lines
+        )
+        desc = line_ops.line_band_descriptors(gray, seg, valid)
+        out["seg"] = seg
+        out["seg_desc"] = desc
+        out["seg_valid"] = valid
+        if depth_map is not None:
+            dm = jnp.asarray(depth_map).astype(jnp.float32) * (
+                1.0 / self.camera.depthmap_factor
+            )
+            H, W = self.camera.rows, self.camera.cols
+
+            def sample_depth(frac):
+                x = seg[:, 0] + frac * (seg[:, 2] - seg[:, 0])
+                y = seg[:, 1] + frac * (seg[:, 3] - seg[:, 1])
+                xi = jnp.clip(x.astype(jnp.int32), 0, W - 1)
+                yi = jnp.clip(y.astype(jnp.int32), 0, H - 1)
+                return dm[yi, xi]
+
+            d1 = jnp.median(
+                jnp.stack([sample_depth(f) for f in (0.05, 0.1, 0.15)]), axis=0
+            )
+            d2 = jnp.median(
+                jnp.stack([sample_depth(f) for f in (0.85, 0.9, 0.95)]), axis=0
+            )
+            out["seg_depth"] = jnp.stack([d1, d2], axis=1)
+        else:
+            out["seg_depth"] = jnp.zeros((seg.shape[0], 2), jnp.float32)
+        return out
+
+    def mono(self, img_gray, key=None):
+        """uint8/f32 [H, W] grayscale -> feature SoA (mono)."""
+        out = self._mono(jnp.asarray(img_gray))
+        if self.with_lines:
+            out = self._lines(img_gray, dict(out), key)
+        return out
+
+    def rgbd(self, img_gray, depth, key=None):
         """Adds per-keypoint depth sampled from the registered depth map and
         a virtual right-x coordinate (reference: frame.cc RGBD ctor
         computes x_right = x - fx*baseline/depth)."""
-        return self._rgbd(jnp.asarray(img_gray), jnp.asarray(depth))
+        out = self._rgbd(jnp.asarray(img_gray), jnp.asarray(depth))
+        if self.with_lines:
+            out = self._lines(img_gray, dict(out), key, depth_map=depth)
+        return out
 
     def stereo(self, img_left, img_right):
         """Rectified stereo pair: left features + disparity-derived depth

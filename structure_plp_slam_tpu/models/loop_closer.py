@@ -1,0 +1,311 @@
+"""Loop detection, validation, and correction.
+
+TPU-native replacement for the reference's loop-closing thread
+(src/PLPSLAM/global_optimization_module.cc, module/loop_detector.cc,
+module/loop_bundle_adjuster.cc). The thread becomes host orchestration
+around four jitted stages:
+
+1. detect    — BoW-style similarity against ALL keyframes in one matmul,
+               min-score gating from the covisibility neighborhood and a
+               continuity >= 3 requirement (loop_detector.cc:102-127);
+2. validate  — dense descriptor matching between the two keyframes'
+               landmark sets, batched Sim3 RANSAC + reweighted refinement
+               (loop_detector.cc:334 select_loop_candidate_via_Sim3);
+3. correct   — Sim3 propagation over the current keyframe's covisibles,
+               landmark transformation, duplicate fusion
+               (global_optimization_module.cc:233-260);
+4. optimize  — dense Sim3 pose-graph GN over the whole keyframe set
+               (models/pose_graph.py) followed by a wide local BA
+               (the reference's loop BA thread, loop_bundle_adjuster.cc).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structure_plp_slam_tpu.data import map_state as ms
+from structure_plp_slam_tpu.data.bow import BowIndex
+from structure_plp_slam_tpu.models import mapper, pose_graph as pg
+from structure_plp_slam_tpu.ops import lie, matching, sim3_solver
+
+
+@functools.partial(jax.jit, static_argnames=("camera",))
+def _match_landmark_pairs(camera, state: ms.MapState, kf1, kf2):
+    """Match keypoints-with-landmarks of kf1 against those of kf2.
+
+    Returns per-kf1-slot: (lm1 [N], lm2 [N], pts1_c1 [N,3], pts2_c2 [N,3],
+    uv1 [N,2], uv2 [N,2], sig1 [N], sig2 [N], valid [N]).
+    Point coordinates are in each keyframe's own camera frame (the Sim3
+    solver convention, sim3_solver.cc).
+    """
+    N = state.kf_xy.shape[1]
+    L = state.lm_pos.shape[0]
+    has1 = (state.kf_lm_idx[kf1] >= 0) & state.kf_kp_valid[kf1]
+    has2 = (state.kf_lm_idx[kf2] >= 0) & state.kf_kp_valid[kf2]
+    bits1 = matching.unpack_desc_bits(state.kf_desc[kf1])
+    bits2 = matching.unpack_desc_bits(state.kf_desc[kf2])
+    d = matching.distance_matrix_mxu(bits1, bits2, has1, has2)
+    best = jnp.argmin(d, axis=1)
+    best_d = jnp.min(d, axis=1)
+    rev = jnp.argmin(d, axis=0)
+    ok = (best_d <= 50) & (rev[best] == jnp.arange(N)) & has1
+
+    lm1 = state.kf_lm_idx[kf1]
+    lm2 = state.kf_lm_idx[kf2][best]
+    X1 = state.lm_pos[jnp.clip(lm1, 0, L - 1)]
+    X2 = state.lm_pos[jnp.clip(lm2, 0, L - 1)]
+    R1, t1 = state.kf_pose[kf1, :, :3], state.kf_pose[kf1, :, 3]
+    R2, t2 = state.kf_pose[kf2, :, :3], state.kf_pose[kf2, :, 3]
+    pts1 = X1 @ R1.T + t1
+    pts2 = X2 @ R2.T + t2
+    uv1 = state.kf_xy[kf1]
+    uv2 = state.kf_xy[kf2][best]
+    sig1 = jnp.power(1.2, state.kf_level[kf1].astype(jnp.float32)) ** 2
+    sig2 = jnp.power(1.2, state.kf_level[kf2][best].astype(jnp.float32)) ** 2
+    ok = ok & (lm2 >= 0) & (pts1[:, 2] > 0) & (pts2[:, 2] > 0)
+    return lm1, lm2, pts1, pts2, uv1, uv2, sig1, sig2, ok
+
+
+class LoopCloser:
+    def __init__(self, camera, max_keyframes: int, *,
+                 min_continuity: int = 3, min_inliers: int = 20,
+                 min_gap: int = 10):
+        self.camera = camera
+        self.bow = BowIndex(max_keyframes)
+        self.min_continuity = min_continuity
+        self.min_inliers = min_inliers
+        self.min_gap = min_gap
+        self._continuity: dict = {}
+        self.last_loop_kf = -999
+        self.loop_edges: List[Tuple[int, int, np.ndarray, np.ndarray, float]] = []
+        self.num_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def add_keyframe(self, state: ms.MapState, slot: int):
+        self.bow.add(slot, state.kf_desc[slot], state.kf_kp_valid[slot])
+
+    # ------------------------------------------------------------------
+    def detect(self, state: ms.MapState, kf: int) -> Optional[int]:
+        """BoW candidate detection with min-score + continuity gating."""
+        if kf - self.last_loop_kf < self.min_gap:
+            return None
+        sims = np.array(self.bow.scores_for_slot(kf))
+        W = np.array(ms.covisibility_matrix(state)[kf])
+        kf_valid = np.array(state.kf_valid)
+        covis = (W >= 15) & kf_valid
+        covis[kf] = True
+        if covis.sum() > 1:
+            min_score = float(sims[covis & (np.arange(len(sims)) != kf)].min())
+        else:
+            min_score = 0.2
+        cand_mask = kf_valid & ~covis & (sims >= max(min_score, 0.1))
+        cand_mask[max(0, kf - self.min_gap):] = False
+        cands = set(np.where(cand_mask)[0].tolist())
+
+        # Continuity: candidate (or its covisibles) must persist 3 rounds
+        # (loop_detector.cc continuity check).
+        new_cont = {}
+        for c in cands:
+            # Also accept "nearby" keyframe ids from previous rounds as a
+            # continuation of the same physical place (the reference uses
+            # covisibility sets; id-adjacency is the video-trajectory
+            # equivalent).
+            prev = max(
+                (n for cc, n in self._continuity.items() if abs(cc - c) <= 2),
+                default=0,
+            )
+            new_cont[c] = prev + 1
+        self._continuity = new_cont
+        matured = [c for c, n in new_cont.items() if n >= self.min_continuity]
+        if not matured:
+            return None
+        # Best-scoring matured candidate.
+        return int(max(matured, key=lambda c: sims[c]))
+
+    # ------------------------------------------------------------------
+    def validate(self, state: ms.MapState, kf_cur: int, kf_cand: int, key):
+        """Sim3 validation. Returns (R_21, t_21, s_21) mapping points in
+        kf_cur's camera frame to kf_cand's camera frame, or None."""
+        (lm1, lm2, pts1, pts2, uv1, uv2, sig1, sig2, ok) = _match_landmark_pairs(
+            self.camera, state, kf_cur, kf_cand
+        )
+        n_matches = int(jnp.sum(ok))
+        if n_matches < self.min_inliers:
+            return None
+        R, t, s, inl, cnt = sim3_solver.sim3_ransac(
+            self.camera, pts1, pts2, uv1, uv2, sig1, sig2, ok, key
+        )
+        if int(cnt) < self.min_inliers:
+            return None
+        R, t, s, inl, cnt = sim3_solver.refine_sim3(
+            self.camera, R, t, s, pts1, pts2, uv1, uv2, inl
+        )
+        if int(cnt) < self.min_inliers:
+            return None
+        return np.array(R), np.array(t), float(s)
+
+    # ------------------------------------------------------------------
+    def correct(self, state: ms.MapState, kf_cur: int, kf_cand: int,
+                R21, t21, s21, inv_sigma_sq_table):
+        """Propagate the loop constraint and optimize the pose graph.
+
+        Returns the corrected MapState.
+        """
+        K = state.kf_pose.shape[0]
+        kf_valid = np.array(state.kf_valid)
+        old_pose = np.array(state.kf_pose)
+
+        # Corrected Sim3 pose of the current keyframe:
+        # S_cur_corr = S_21^-1 ∘ S_cand  (world -> cur with scale).
+        R21j = jnp.asarray(R21, jnp.float32)
+        t21j = jnp.asarray(t21, jnp.float32)
+        s21j = jnp.asarray(s21, jnp.float32)
+        Ri, ti, si = lie.sim3_inverse(R21j, t21j, s21j)
+        Rc = jnp.asarray(old_pose[kf_cand, :, :3])
+        tc = jnp.asarray(old_pose[kf_cand, :, 3])
+        R_cur_c, t_cur_c, s_cur_c = lie.sim3_compose(
+            Ri, ti, si, Rc, tc, jnp.float32(1.0)
+        )
+
+        # Covisible neighborhood of cur gets the rigid-relative correction:
+        # S_i_corr = (S_i_old ∘ S_cur_old^-1) ∘ S_cur_corr.
+        W = np.array(ms.covisibility_matrix(state)[kf_cur])
+        neigh = (W >= 15) & kf_valid
+        neigh[kf_cur] = True
+
+        R_old = jnp.asarray(old_pose[:, :, :3])
+        t_old = jnp.asarray(old_pose[:, :, 3])
+        s_old = jnp.ones((K,), jnp.float32)
+
+        Rcu = jnp.asarray(old_pose[kf_cur, :, :3])
+        tcu = jnp.asarray(old_pose[kf_cur, :, 3])
+        Rcui, tcui, scui = lie.sim3_inverse(Rcu, tcu, jnp.float32(1.0))
+        # Per-keyframe relative (batched over K).
+        R_rel, t_rel, s_rel = lie.sim3_compose(
+            R_old, t_old, s_old,
+            jnp.broadcast_to(Rcui, (K, 3, 3)), jnp.broadcast_to(tcui, (K, 3)),
+            jnp.broadcast_to(scui, (K,)),
+        )
+        R_corr, t_corr, s_corr = lie.sim3_compose(
+            R_rel, t_rel, s_rel,
+            jnp.broadcast_to(R_cur_c, (K, 3, 3)),
+            jnp.broadcast_to(t_cur_c, (K, 3)),
+            jnp.broadcast_to(s_cur_c, (K,)),
+        )
+        neigh_j = jnp.asarray(neigh)
+        R_new = jnp.where(neigh_j[:, None, None], R_corr, R_old)
+        t_new = jnp.where(neigh_j[:, None], t_corr, t_old)
+        s_new = jnp.where(neigh_j, s_corr, s_old)
+
+        # Move landmarks of the corrected neighborhood (ref-kf based).
+        lm_ref = jnp.clip(state.lm_ref_kf, 0, K - 1)
+        lm_in_neigh = neigh_j[lm_ref] & state.lm_valid
+        lm_pos2 = pg.correct_landmarks(
+            state.lm_pos, state.lm_ref_kf, lm_in_neigh,
+            R_old, t_old, s_old, R_new, t_new, s_new,
+        )
+
+        # Fold scale into SE3: t /= s (reference: convert Sim3->SE3).
+        pose_se3 = jnp.concatenate(
+            [R_new, (t_new / jnp.maximum(s_new, 1e-12)[:, None])[:, :, None]], axis=2
+        )
+        state = state._replace(kf_pose=pose_se3, lm_pos=lm_pos2)
+
+        # Fuse duplicated landmarks around the current keyframe
+        # (global_optimization_module.cc:257-260).
+        cand_mask = jnp.zeros((K,), bool).at[kf_cand].set(True)
+        cand_lms = ms.local_landmark_mask(state, cand_mask)
+        state, _ = mapper.fuse_into_keyframe(self.camera, state, kf_cur, cand_lms)
+
+        # ---------------- pose-graph optimization ----------------------
+        self.loop_edges.append((kf_cur, kf_cand, np.array(R21), np.array(t21),
+                                float(s21)))
+        state = self._optimize_graph(state, kf_cand)
+
+        self.last_loop_kf = kf_cur
+        self._continuity.clear()
+        self.num_loops_closed += 1
+
+        # Wide local BA around the loop keyframe (stand-in for the
+        # reference's full loop BA thread).
+        state, _ = mapper.local_ba(
+            self.camera, state, kf_cur, inv_sigma_sq_table,
+            max_opt=16, max_fix=16, max_lms=4096,
+        )
+        return state
+
+    # ------------------------------------------------------------------
+    def _optimize_graph(self, state: ms.MapState, anchor_kf: int):
+        """Dense Sim3 pose graph: sequential chain + strong covisibility
+        edges + accumulated loop edges."""
+        K = state.kf_pose.shape[0]
+        kf_valid = np.array(state.kf_valid)
+        pose = np.array(state.kf_pose)
+        valid_ids = np.where(kf_valid)[0]
+        if len(valid_ids) < 3:
+            return state
+
+        W = np.array(ms.covisibility_matrix(state))
+        edges = []
+
+        def rel(i, j):
+            # Measured S_ji: pose of i in j's frame from current estimates.
+            Ri, ti = pose[i, :, :3], pose[i, :, 3]
+            Rj, tj = pose[j, :, :3], pose[j, :, 3]
+            R_ij = Rj @ Ri.T
+            t_ij = tj - R_ij @ ti
+            return R_ij, t_ij
+
+        # Sequential chain (spanning-tree equivalent for a video trajectory).
+        for a, b in zip(valid_ids[:-1], valid_ids[1:]):
+            R_m, t_m = rel(a, b)
+            edges.append((a, b, R_m, t_m, 1.0, 1.0))
+        # Strong covisibility edges (weight >= 100, reference threshold).
+        for i in valid_ids:
+            for j in valid_ids:
+                if j <= i + 1:
+                    continue
+                if W[i, j] >= 100:
+                    R_m, t_m = rel(i, j)
+                    edges.append((i, j, R_m, t_m, 1.0, 1.0))
+        # Loop edges keep their measured Sim3.
+        for (i, j, R_m, t_m, s_m) in self.loop_edges:
+            if kf_valid[i] and kf_valid[j]:
+                # stored as S_21: cur(i) -> cand(j) mapping of camera-frame
+                # points; as a pose edge S_ji with scale.
+                edges.append((i, j, R_m, t_m, s_m, 10.0))
+
+        E = len(edges)
+        prob = pg.PoseGraphProblem(
+            R=jnp.asarray(pose[:, :, :3]),
+            t=jnp.asarray(pose[:, :, 3]),
+            s=jnp.ones((K,), jnp.float32),
+            fixed=jnp.asarray(np.arange(K) == anchor_kf),
+            valid=jnp.asarray(kf_valid),
+            edge_i=jnp.asarray([e[0] for e in edges], jnp.int32),
+            edge_j=jnp.asarray([e[1] for e in edges], jnp.int32),
+            edge_R=jnp.asarray(np.stack([e[2] for e in edges]), jnp.float32),
+            edge_t=jnp.asarray(np.stack([e[3] for e in edges]), jnp.float32),
+            edge_s=jnp.asarray([e[4] for e in edges], jnp.float32),
+            edge_valid=jnp.ones((E,), bool),
+            edge_weight=jnp.asarray([e[5] for e in edges], jnp.float32),
+        )
+        R_old = prob.R
+        t_old = prob.t
+        s_old = prob.s
+        R_opt, t_opt, s_opt, _ = pg.optimize_pose_graph(prob)
+
+        lm_pos2 = pg.correct_landmarks(
+            state.lm_pos, state.lm_ref_kf, state.lm_valid,
+            R_old, t_old, s_old, R_opt, t_opt, s_opt,
+        )
+        pose_se3 = jnp.concatenate(
+            [R_opt, (t_opt / jnp.maximum(s_opt, 1e-12)[:, None])[:, :, None]],
+            axis=2,
+        )
+        return state._replace(kf_pose=pose_se3, lm_pos=lm_pos2)

@@ -1,0 +1,206 @@
+"""Plane landmark lifecycle driven by instance-segmentation masks.
+
+TPU-native replacement for Planar_Mapping_module (src/PLPSLAM/
+planar_mapping_module.{h,cc}): PlaneRecNet instance masks (precomputed,
+pixel value = instance id) bucket the current keyframe's landmarks per
+instance; each bucket is RANSAC+SVD plane-fitted; planes then go through
+merge / refine / point-snap maintenance. The reference runs this inside
+the mapping thread ("could be the 4th thread", planar_mapping_module.h:45);
+here each step is a jitted call after keyframe insertion.
+
+Instance capacity is static (``MAX_INSTANCES`` buckets per keyframe,
+vmapped RANSAC across buckets).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from structure_plp_slam_tpu.data import map_state as ms
+from structure_plp_slam_tpu.ops import plane_fit
+
+MAX_INSTANCES = 8
+MIN_INLIERS = 20          # reference: min landmarks per plane candidate
+INLIER_RATIO = 0.7        # reference: _THRESHOLD ratios (planar_mapping_parameters.yaml)
+
+
+@jax.jit
+def label_keypoints(seg_mask, kp_xy, kp_valid):
+    """Per-keypoint instance label with a 3x3 consistency check
+    (reference: create_ColorToPlane, planar_mapping_module.cc:185-345 —
+    a keypoint counts only if its 3x3 neighborhood is one instance).
+
+    ``seg_mask``: i32 [H, W], 0 = background, 1..n = instances.
+    Returns labels [N] i32 (0 = none).
+    """
+    H, W = seg_mask.shape
+    xs = jnp.clip(kp_xy[:, 0].astype(jnp.int32), 1, W - 2)
+    ys = jnp.clip(kp_xy[:, 1].astype(jnp.int32), 1, H - 2)
+    center = seg_mask[ys, xs]
+    consistent = jnp.ones_like(center, dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            consistent = consistent & (seg_mask[ys + dy, xs + dx] == center)
+    return jnp.where(kp_valid & consistent & (center > 0), center, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_instances",))
+def detect_planes(
+    state: ms.MapState,
+    kf,
+    labels,
+    base_plane_slot,
+    key,
+    scale,
+    *,
+    max_instances: int = MAX_INSTANCES,
+):
+    """Fit a plane per mask instance from the keyframe's landmarks.
+
+    ``labels``: [N] per-keypoint instance ids (label_keypoints output).
+    ``scale``: map scale estimate — the RANSAC threshold is
+    0.02 * scale map units (the reference estimates scale from median
+    keyframe depth / point norms, planar_mapping_module.cc:130-183).
+    Returns (state, num_created).
+    """
+    N = labels.shape[0]
+    L = state.lm_pos.shape[0]
+    P = state.pl_coef.shape[0]
+    lm = state.kf_lm_idx[kf]
+    has_lm = (lm >= 0) & state.kf_kp_valid[kf]
+    lm_safe = jnp.clip(lm, 0, L - 1)
+    pts = state.lm_pos[lm_safe]
+    # A landmark already owned by a plane is not re-bucketed.
+    unowned = state.lm_plane[lm_safe] < 0
+    thr = 0.02 * scale
+
+    keys = jax.random.split(key, max_instances)
+
+    def per_instance(inst, k):
+        sel = has_lm & unowned & (labels == inst)
+        coef, inl, n_inl = plane_fit.plane_ransac(
+            pts, sel, k, inlier_thr=thr
+        )
+        n_cand = jnp.sum(sel)
+        good = (
+            (n_inl >= MIN_INLIERS)
+            & (n_inl >= INLIER_RATIO * jnp.maximum(n_cand, 1))
+        )
+        return coef, inl & sel, good
+
+    coefs, inls, goods = jax.vmap(per_instance)(
+        jnp.arange(1, max_instances + 1), keys
+    )  # [I, 4], [I, N], [I]
+
+    order = jnp.cumsum(goods.astype(jnp.int32)) - 1
+    slots = base_plane_slot + order
+    safe = jnp.where(goods, slots, P)
+    state = state._replace(
+        pl_coef=state.pl_coef.at[safe].set(coefs, mode="drop"),
+        pl_valid=state.pl_valid.at[safe].set(goods, mode="drop"),
+        pl_needs_refresh=state.pl_needs_refresh.at[safe].set(
+            jnp.zeros_like(goods), mode="drop"
+        ),
+        pl_ref_kf=state.pl_ref_kf.at[safe].set(
+            jnp.full_like(slots, kf), mode="drop"
+        ),
+    )
+    # Assign landmark ownership (landmark.h:139-141 owning-plane link).
+    own = jnp.where(goods[:, None], inls, False)  # [I, N]
+    plane_of_kp = jnp.max(
+        jnp.where(own, slots[:, None], -1), axis=0
+    )  # [N]
+    write = (plane_of_kp >= 0) & has_lm
+    lm_tgt = jnp.where(write, lm_safe, L)
+    state = state._replace(
+        lm_plane=state.lm_plane.at[lm_tgt].set(
+            jnp.where(write, plane_of_kp, -1), mode="drop"
+        )
+    )
+    return state, jnp.sum(goods)
+
+
+@jax.jit
+def merge_planes(state: ms.MapState, scale):
+    """Merge coplanar plane pairs (reference: planar_mapping_module.cc
+    :773-1004 merge criteria — parallel normals + small mutual offset).
+    The lower-id plane absorbs the other."""
+    P = state.pl_coef.shape[0]
+    n = state.pl_coef[:, :3]
+    d = state.pl_coef[:, 3]
+    cos = jnp.abs(n @ n.T)
+    d_diff = jnp.abs(jnp.abs(d)[:, None] - jnp.abs(d)[None, :])
+    both = state.pl_valid[:, None] & state.pl_valid[None, :]
+    ids = jnp.arange(P)
+    mergeable = both & (cos > 0.985) & (d_diff < 0.05 * scale) & (
+        ids[:, None] < ids[None, :]
+    )
+    # For each plane j, the smallest i it merges into (or itself).
+    tgt = jnp.min(jnp.where(mergeable, ids[:, None], P), axis=0)
+    tgt = jnp.where(tgt < P, tgt, ids)
+    # One-step path compression is enough for pairwise chains.
+    tgt = tgt[tgt]
+    dies = tgt != ids
+    # Remap landmark ownership.
+    owned = state.lm_plane >= 0
+    new_owner = tgt[jnp.clip(state.lm_plane, 0, P - 1)]
+    state = state._replace(
+        lm_plane=jnp.where(owned, new_owner, state.lm_plane),
+        pl_valid=state.pl_valid & ~dies,
+        pl_needs_refresh=state.pl_needs_refresh | (
+            jnp.zeros((P,), bool).at[tgt].set(dies, mode="drop")
+        ),
+    )
+    return state, jnp.sum(dies)
+
+
+@jax.jit
+def refine_planes(state: ms.MapState, scale):
+    """Refit every valid plane from its owned landmarks (reference:
+    refine_planes SVD refit) and drop planes that lost support."""
+    P = state.pl_coef.shape[0]
+    L = state.lm_pos.shape[0]
+
+    def refit(p):
+        w = ((state.lm_plane == p) & state.lm_valid).astype(jnp.float32)
+        n, d = plane_fit.fit_plane_svd(state.lm_pos, w)
+        coef = jnp.concatenate([n, jnp.array([d])])
+        count = jnp.sum(w)
+        return coef, count
+
+    coefs, counts = jax.vmap(refit)(jnp.arange(P))
+    keep = state.pl_valid & (counts >= MIN_INLIERS * 0.5)
+    state = state._replace(
+        pl_coef=jnp.where(keep[:, None], coefs, state.pl_coef),
+        pl_valid=keep,
+        pl_needs_refresh=jnp.zeros((P,), bool),
+    )
+    # Orphan landmarks of dropped planes.
+    owner_ok = keep[jnp.clip(state.lm_plane, 0, P - 1)]
+    state = state._replace(
+        lm_plane=jnp.where(
+            (state.lm_plane >= 0) & ~owner_ok, -1, state.lm_plane
+        )
+    )
+    return state
+
+
+@jax.jit
+def snap_points_to_planes(state: ms.MapState, scale):
+    """Project owned landmarks onto their plane (reference:
+    refine_points_with_plane — the point-to-plane regularization)."""
+    P = state.pl_coef.shape[0]
+    owned = (state.lm_plane >= 0) & state.lm_valid
+    coef = state.pl_coef[jnp.clip(state.lm_plane, 0, P - 1)]
+    dist = jnp.einsum("li,li->l", coef[:, :3], state.lm_pos) + coef[:, 3]
+    # Snap only points already near the plane (outliers keep their position
+    # and lose ownership).
+    near = jnp.abs(dist) <= 0.06 * scale
+    snapped = state.lm_pos - dist[:, None] * coef[:, :3]
+    return state._replace(
+        lm_pos=jnp.where((owned & near)[:, None], snapped, state.lm_pos),
+        lm_plane=jnp.where(owned & ~near, -1, state.lm_plane),
+    )

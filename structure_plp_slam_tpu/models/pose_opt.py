@@ -101,11 +101,29 @@ def optimize_pose(
     """
     has_stereo = obs_xr >= 0.0
 
+    def robust_cost(R, t, inlier):
+        """Total Huber-weighted cost (the LM acceptance criterion)."""
+        _, r_uv, r_xr = _residuals(camera, R, t, points_w, obs_uv, obs_xr)
+        chi2 = robust.chi2_2d(r_uv, inv_sigma_sq) + jnp.where(
+            has_stereo, r_xr * r_xr * inv_sigma_sq, 0.0
+        )
+        delta_sq = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
+        rho = jnp.where(
+            chi2 <= delta_sq,
+            chi2,
+            2.0 * jnp.sqrt(delta_sq * jnp.maximum(chi2, 1e-12)) - delta_sq,
+        )
+        return jnp.sum(jnp.where(valid & inlier, rho, 0.0))
+
     def trial_body(carry, _):
         R, t, inlier = carry
 
-        def gn_iter(carry2, _):
-            R, t = carry2
+        def lm_iter(carry2, _):
+            # True Levenberg-Marquardt: adaptive lambda with step
+            # accept/reject on the robust cost (matches g2o's behavior —
+            # a fixed-damping GN can jump into a spurious local basin when
+            # the start pose is off, which a rejected step prevents).
+            R, t, lam, cost = carry2
             pc, r_uv, r_xr = _residuals(camera, R, t, points_w, obs_uv, obs_xr)
             chi2 = robust.chi2_2d(r_uv, inv_sigma_sq) + jnp.where(
                 has_stereo, r_xr * r_xr * inv_sigma_sq, 0.0
@@ -115,7 +133,6 @@ def optimize_pose(
             w = jnp.where(valid & inlier, w_huber * inv_sigma_sq, 0.0)
 
             J_uv, J_xr_pc = _point_jacobian_blocks(camera, pc)
-            # d(pc)/d(xi) = [I | -hat(pc)]  -> [N, 3, 6]
             hat_pc = lie.hat(pc)
             dpc = jnp.concatenate(
                 [
@@ -128,7 +145,6 @@ def optimize_pose(
             J3r = (J_xr_pc[:, None, :] @ dpc)[:, 0, :]  # [N, 6]
             w_st = jnp.where(has_stereo, w, 0.0)
 
-            # Normal equations: H = sum w J^T J over rows (MXU contraction).
             Jw2 = J2 * w[:, None, None]
             H = jnp.einsum("nri,nrj->ij", Jw2, J2) + jnp.einsum(
                 "ni,nj->ij", J3r * w_st[:, None], J3r
@@ -137,17 +153,24 @@ def optimize_pose(
                 jnp.einsum("nri,nr->i", Jw2, r_uv)
                 + jnp.einsum("ni,n->i", J3r * w_st[:, None], r_xr)
             )
-            # Levenberg damping for robustness in f32.
-            H = H + 1e-5 * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype)
-            xi = jnp.linalg.solve(H, b)
-            R_new, t_new = lie.se3_update(R, t, xi)
-            # Guard against NaN blowups (degenerate H): keep old pose.
+            H_lm = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-6))
+            xi = jnp.linalg.solve(H_lm, b)
             ok = jnp.all(jnp.isfinite(xi))
-            R_new = jnp.where(ok, R_new, R)
-            t_new = jnp.where(ok, t_new, t)
-            return (R_new, t_new), None
+            xi = jnp.where(ok, lie.clamp_tangent(xi), 0.0)
+            R_new, t_new = lie.se3_update(R, t, xi)
+            new_cost = robust_cost(R_new, t_new, inlier)
+            accept = ok & (new_cost < cost)
+            R = jnp.where(accept, R_new, R)
+            t = jnp.where(accept, t_new, t)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 4.0, 1e4))
+            return (R, t, lam, cost), None
 
-        (R, t), _ = jax.lax.scan(gn_iter, (R, t), None, length=num_iters)
+        cost0 = robust_cost(R, t, inlier)
+        (R, t, _, _), _ = jax.lax.scan(
+            lm_iter, (R, t, jnp.float32(1e-3), cost0), None, length=num_iters
+        )
 
         # Re-classify inliers for the next trial (reference :163-201).
         _, r_uv, r_xr = _residuals(camera, R, t, points_w, obs_uv, obs_xr)
@@ -163,6 +186,7 @@ def optimize_pose(
         trial_body, (R0, t0, inlier0), None, length=num_trials
     )
 
+    R = lie.orthonormalize(R)
     _, r_uv, r_xr = _residuals(camera, R, t, points_w, obs_uv, obs_xr)
     chi2 = robust.chi2_2d(r_uv, inv_sigma_sq) + jnp.where(
         has_stereo, r_xr * r_xr * inv_sigma_sq, 0.0

@@ -90,6 +90,7 @@ def track_frame(
     R_pred,
     t_pred,
     last_kp_lm,
+    prev_ref_kf,
     inv_sigma_sq_table,
     *,
     num_levels: int = 8,
@@ -177,10 +178,38 @@ def track_frame(
     res_w, kp_lm_w, _, _ = assoc_and_opt(
         R_pred, t_pred, last_lm_mask, radius_table_wide, 50, None, lm_bits
     )
+
+    # Fallback strategy: descriptor-only matching against the reference
+    # keyframe's landmarks, no spatial windows (the reference's
+    # bow_match_based_track, frame_tracker.cc:127 — robust when the motion
+    # prediction is badly wrong, e.g. at sharp direction changes).
+    ref_has = (state.kf_lm_idx[prev_ref_kf] >= 0) & state.kf_kp_valid[prev_ref_kf]
+    ref_bits = matching.unpack_desc_bits(state.kf_desc[prev_ref_kf])
+    d_ref = matching.distance_matrix_mxu(kp_bits, ref_bits, kp_valid, ref_has)
+    best_r = jnp.argmin(d_ref, axis=1)
+    best_rd = jnp.min(d_ref, axis=1)
+    rev_r = jnp.argmin(d_ref, axis=0)
+    ok_r = (best_rd <= 50) & (rev_r[best_r] == jnp.arange(N))
+    kp_lm_f0 = jnp.where(ok_r, state.kf_lm_idx[prev_ref_kf][best_r], -1)
+    res_f = pose_opt.optimize_pose(
+        camera,
+        R_pred,
+        t_pred,
+        state.lm_pos[jnp.clip(kp_lm_f0, 0, L - 1)],
+        feats["xy"],
+        feats["xr"],
+        obs_info,
+        (kp_lm_f0 >= 0) & kp_valid,
+    )
+    kp_lm_f = jnp.where(res_f.inliers, kp_lm_f0, -1)
+
+    # Pick the strategy with the most inliers, preferring narrow when it
+    # has enough (matches the reference's fallback ladder).
     use_narrow = res_n.num_inliers >= 20
-    R1 = jnp.where(use_narrow, res_n.R, res_w.R)
-    t1 = jnp.where(use_narrow, res_n.t, res_w.t)
-    kp_lm_1 = jnp.where(use_narrow, kp_lm_n, kp_lm_w)
+    use_wide = ~use_narrow & (res_w.num_inliers >= jnp.maximum(res_f.num_inliers, 20))
+    R1 = jnp.where(use_narrow, res_n.R, jnp.where(use_wide, res_w.R, res_f.R))
+    t1 = jnp.where(use_narrow, res_n.t, jnp.where(use_wide, res_w.t, res_f.t))
+    kp_lm_1 = jnp.where(use_narrow, kp_lm_n, jnp.where(use_wide, kp_lm_w, kp_lm_f))
 
     # ---------------- stage 2: local map -----------------------------------
     # Reference keyframe = keyframe sharing most current landmarks

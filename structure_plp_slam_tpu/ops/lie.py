@@ -75,7 +75,9 @@ def _sincc(theta):
 
 def so3_exp(phi):
     """Rodrigues formula: ``[..., 3] -> [..., 3, 3]``."""
-    theta = jnp.sqrt(jnp.sum(phi * phi, axis=-1) + 0.0)
+    # Clamped sqrt: d/dx sqrt at 0 is inf, which poisons jacfwd even when
+    # the value itself is routed through the Taylor branch of a where().
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(phi * phi, axis=-1), 1e-24))
     K = hat(phi)
     K2 = K @ K
     a = _sinc(theta)[..., None, None]
@@ -94,7 +96,7 @@ def so3_log(R):
     q = quat_from_rotmat(R)  # canonical w >= 0 -> theta in [0, pi]
     w = q[..., 0]
     xyz = q[..., 1:]
-    n = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1))
+    n = jnp.sqrt(jnp.maximum(jnp.sum(xyz * xyz, axis=-1), 1e-24))
     small = n < 1e-6
     safe_n = jnp.where(small, 1.0, n)
     safe_w = jnp.maximum(w, 1e-12)
@@ -107,7 +109,7 @@ def so3_log(R):
 
 def so3_left_jacobian(phi):
     """Left Jacobian of SO(3): J_l = I + cosc(θ) K + sincc(θ) K²."""
-    theta = jnp.sqrt(jnp.sum(phi * phi, axis=-1))
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(phi * phi, axis=-1), 1e-24))
     K = hat(phi)
     K2 = K @ K
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
@@ -164,6 +166,28 @@ def se3_update(R, t, xi):
     return se3_compose(dR, dt, R, t)
 
 
+def orthonormalize(R):
+    """Project a near-rotation back onto SO(3) (quaternion round trip).
+
+    Optimizer steps with huge rotation tangents (degenerate normal
+    equations) make Rodrigues' formula cancel catastrophically in f32 and
+    the result drifts off the manifold; a det != 1 'rotation' then acts as
+    an illegal scale DoF that robust costs happily exploit. Call this after
+    any solver that composes many updates.
+    """
+    return rotmat_from_quat(quat_from_rotmat(R))
+
+
+def clamp_tangent(xi, max_rot: float = 0.5, max_trans: float = 10.0):
+    """Trust-region clamp of an se(3) step ``[..., 6]`` ([rho, phi])."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    nr = jnp.sqrt(jnp.maximum(jnp.sum(rho * rho, -1, keepdims=True), 1e-24))
+    np_ = jnp.sqrt(jnp.maximum(jnp.sum(phi * phi, -1, keepdims=True), 1e-24))
+    rho = rho * jnp.minimum(1.0, max_trans / nr)
+    phi = phi * jnp.minimum(1.0, max_rot / np_)
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Sim(3) — used by loop closing (pose-graph optimization and Sim3 fitting),
 # reference: src/PLPSLAM/optimize/g2o/sim3/shot_vertex.h, graph_optimizer.cc.
@@ -179,7 +203,7 @@ def sim3_exp(xi):
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     R = so3_exp(phi)
     s = jnp.exp(sigma)
-    theta = jnp.sqrt(jnp.sum(phi * phi, axis=-1))
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(phi * phi, axis=-1), 1e-24))
     K = hat(phi)
     K2 = K @ K
 
@@ -245,11 +269,9 @@ def sim3_log(R, t, s):
     """sim(3) log: inverse of :func:`sim3_exp` (solves W rho = t)."""
     phi = so3_log(R)
     sigma = jnp.log(s)
-    xi_rot = jnp.concatenate([jnp.zeros_like(phi), phi, sigma[..., None]], axis=-1)
-    # Recompute W from (phi, sigma) by calling sim3_exp on a zero-rho tangent
-    # and extracting W via its action on basis vectors is wasteful; instead
-    # rebuild W directly with the same coefficients.
-    theta = jnp.sqrt(jnp.sum(phi * phi, axis=-1))
+    # Rebuild W directly from (phi, sigma) with the same coefficients as
+    # sim3_exp.
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(phi * phi, axis=-1), 1e-24))
     K = hat(phi)
     K2 = K @ K
     eps = 1e-5

@@ -1,0 +1,78 @@
+"""Plane fitting: weighted SVD fit + batched-hypothesis RANSAC.
+
+TPU-native replacement for the reference's plane machinery
+(src/PLPSLAM/planar_mapping_module.cc:412-591 sequential RANSAC,
+:735-771 estimate_plane_SVD, and the vendored Graph-Cut RANSAC
+solve/GCRANSAC/** used at :1006-1156). On GC-RANSAC: its spatial-coherence
+term exists to clean up inlier selection on CPU-sized sample budgets; with
+hundreds of simultaneous hypotheses + an SVD refit on the consensus set,
+batched MSAC reaches the same fits on these problems — the graph-cut
+energy minimization is deliberately not ported (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from structure_plp_slam_tpu.ops.ransac import sample_minimal_sets
+
+
+def fit_plane_svd(points, weights):
+    """Weighted total-least-squares plane through ``points [N, 3]``.
+
+    Returns (n [3] unit, d) with n.x + d = 0 for points on the plane.
+    """
+    w = jnp.maximum(weights, 0.0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mu = jnp.sum(points * w[:, None], axis=0) / wsum
+    X = (points - mu) * jnp.sqrt(w)[:, None]
+    cov = X.T @ X
+    eigval, eigvec = jnp.linalg.eigh(cov)
+    n = eigvec[:, 0]  # smallest eigenvalue -> normal
+    d = -jnp.dot(n, mu)
+    return n, d
+
+
+def point_plane_distance(coef, points):
+    """|n.x + d| for coef ``[..., 4]`` and points ``[..., N, 3]``."""
+    return jnp.abs(
+        jnp.einsum("...i,...ni->...n", coef[..., :3], points) + coef[..., 3:4]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def plane_ransac(points, valid, key, *, inlier_thr: float,
+                 num_hypotheses: int = 128):
+    """Batched 3-point plane RANSAC + SVD consensus refit.
+
+    Returns (coef [4], inliers [N], num_inliers).
+    """
+    N = points.shape[0]
+    idx = sample_minimal_sets(key, num_hypotheses, 3, N, valid)
+    p = points[idx]  # [S, 3, 3]
+    n = jnp.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(norm, 1e-12)
+    d = -jnp.einsum("si,si->s", n, p[:, 0])
+    coef = jnp.concatenate([n, d[:, None]], axis=-1)  # [S, 4]
+
+    dist = point_plane_distance(coef, points[None])  # [S, N]
+    ok = (dist <= inlier_thr) & valid[None]
+    # Degenerate samples (collinear) produce |n| ~ 0 -> score 0.
+    score = jnp.where(norm[:, 0] > 1e-9, jnp.sum(ok, axis=-1), 0)
+    best = jnp.argmax(score)
+    inl0 = ok[best]
+
+    # SVD refit on the consensus set, then re-gate (one reweighted round).
+    n1, d1 = fit_plane_svd(points, inl0.astype(jnp.float32))
+    coef1 = jnp.concatenate([n1, jnp.array([d1])])
+    dist1 = point_plane_distance(coef1[None], points[None])[0]
+    inl1 = (dist1 <= inlier_thr) & valid
+    n2, d2 = fit_plane_svd(points, inl1.astype(jnp.float32))
+    coef2 = jnp.concatenate([n2, jnp.array([d2])])
+    dist2 = point_plane_distance(coef2[None], points[None])[0]
+    inl2 = (dist2 <= inlier_thr) & valid
+    return coef2, inl2, jnp.sum(inl2)

@@ -245,8 +245,8 @@ def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
             dx_l = jnp.einsum("mij,mj->mi", Hll_inv, bl - Wt_dxc)
 
             ok = jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dx_l))
-            dx_c = jnp.where(ok, dx_c, 0.0)
-            dx_l = jnp.where(ok, dx_l, 0.0)
+            dx_c = jnp.where(ok, lie.clamp_tangent(dx_c, 0.3, 5.0), 0.0)
+            dx_l = jnp.where(ok, jnp.clip(dx_l, -5.0, 5.0), 0.0)
 
             R_new, t_new = lie.se3_update(cam_pose[:, :, :3], cam_pose[:, :, 3], dx_c)
             cam_new = jnp.where(
@@ -258,6 +258,11 @@ def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
         (cam_pose, lm_pos), _ = jax.lax.scan(
             iteration, (cam_pose0, lm_pos0), None, length=num_iters
         )
+        cam_pose = lie.pack_pose(
+            lie.orthonormalize(cam_pose[:, :, :3]), cam_pose[:, :, 3]
+        )
+        free_out = (~cam_fixed) & cam_valid
+        cam_pose = jnp.where(free_out[:, None, None], cam_pose, cam_pose0)
         return cam_pose, lm_pos
 
     rep = P()

@@ -37,7 +37,9 @@ from structure_plp_slam_tpu.io import trajectory as traj_io
 from structure_plp_slam_tpu.models import (
     frontend as frontend_mod,
     initializer,
+    loop_closer as loop_mod,
     mapper,
+    relocalizer as reloc_mod,
     tracker,
 )
 from structure_plp_slam_tpu.camera import CameraSetup
@@ -59,6 +61,8 @@ class System:
         max_landmarks: int = 32768,
         seed: int = 0,
         enable_mapping: bool = True,
+        enable_loop_closing: bool = True,
+        with_lines: bool = False,
         num_triangulation_neighbors: int = 2,
         max_kf_interval: Optional[int] = None,
     ):
@@ -76,8 +80,16 @@ class System:
             ).capacity,
             8,
         )
-        self.frontend = frontend_mod.Frontend(config.camera, config.orb, pad_to=cap)
+        # Line tracking may also be switched on by the reference's YAML key
+        # (Threshold.use_line_tracking, system.cc:550-556).
+        self.with_lines = bool(
+            with_lines or config.raw.get("Threshold.use_line_tracking", False)
+        )
+        self.frontend = frontend_mod.Frontend(
+            config.camera, config.orb, pad_to=cap, with_lines=self.with_lines
+        )
         self.state = ms.create(max_keyframes, cap, max_landmarks)
+        self.next_line = 0
         self.max_keyframes = max_keyframes
         self.max_landmarks = max_landmarks
         self.num_tri_neighbors = num_triangulation_neighbors
@@ -97,9 +109,27 @@ class System:
         self.last_kp_lm = jnp.full((cap,), -1, jnp.int32)
         self.ref_kf = 0
 
+        # Loop closing + relocalization (share the retrieval index).
+        self.enable_loop_closing = enable_loop_closing
+        self.loop_closer = loop_mod.LoopCloser(config.camera, max_keyframes)
+        self.relocalizer = reloc_mod.Relocalizer(
+            config.camera, self.loop_closer.bow
+        )
+
         # Mono initialization buffer.
         self._init_feats = None
         self._init_ts = None
+        self._seg_line_idx = None
+        self._cur_seg_mask = None
+        self._last_image = None
+        self.next_plane = 0
+
+        # Publishers (reference: system.h:103-106 getter pair).
+        from structure_plp_slam_tpu.publish.frame_publisher import FramePublisher
+        from structure_plp_slam_tpu.publish.map_publisher import MapPublisher
+
+        self.frame_publisher = FramePublisher()
+        self.map_publisher = MapPublisher(self)
 
         # Frame trajectory: (ts, ref_kf, rel_pose_cw_to_ref [3,4], lost).
         self._frame_stats: List[Tuple[float, int, np.ndarray, bool]] = []
@@ -130,16 +160,28 @@ class System:
     # ------------------------------------------------------------------
     # Frame feeding (reference: system::feed_*_frame).
     # ------------------------------------------------------------------
-    def feed_monocular_frame(self, img, timestamp: float):
-        feats = self.frontend.mono(img)
+    def feed_monocular_frame(self, img, timestamp: float, seg_mask=None):
+        """``seg_mask``: optional [H, W] instance-id image (PlaneRecNet
+        output; reference: the *_with_SegMask overloads, system.h:140-162).
+        """
+        feats = self.frontend.mono(img, self._split_key() if self.with_lines else None)
+        self._cur_seg_mask = seg_mask
+        self._last_image = np.asarray(img)
         return self._track(feats, timestamp)
 
-    def feed_RGBD_frame(self, img, depthmap, timestamp: float):
-        feats = self.frontend.rgbd(img, depthmap)
+    def feed_RGBD_frame(self, img, depthmap, timestamp: float, seg_mask=None):
+        feats = self.frontend.rgbd(
+            img, depthmap, self._split_key() if self.with_lines else None
+        )
+        self._cur_seg_mask = seg_mask
+        self._last_image = np.asarray(img)
         return self._track(feats, timestamp)
 
-    def feed_stereo_frame(self, img_left, img_right, timestamp: float):
+    def feed_stereo_frame(self, img_left, img_right, timestamp: float,
+                          seg_mask=None):
         feats = self.frontend.stereo(img_left, img_right)
+        self._cur_seg_mask = seg_mask
+        self._last_image = np.asarray(img_left)
         return self._track(feats, timestamp)
 
     # ------------------------------------------------------------------
@@ -168,17 +210,36 @@ class System:
             R_pred,
             t_pred,
             self.last_kp_lm,
+            jnp.int32(self.ref_kf),
             self.frontend.inv_sigma_sq,
             num_levels=self.frontend.extractor.params.num_levels,
             scale_factor=self.frontend.extractor.params.scale_factor,
         )
+        # Reference acceptance: local-map tracking must keep >= 30 inliers
+        # (frame_tracker/ORB-SLAM thresholds); below that the pose is
+        # unreliable even if self-consistent, so declare Lost and try to
+        # relocalize rather than inserting garbage keyframes.
         num_tracked = int(res.num_tracked)
-        if num_tracked < 12:
-            # Lost: keep last pose, do not update the motion model
-            # (relocalization lands with the loop-closing subsystem).
+        if num_tracked < 30:
+            # Lost: try relocalization against the retrieval index
+            # (reference: tracking_module.cc:651-657 -> relocalizer.cc).
             self.tracking_state = TrackerState.LOST
-            self._record_frame(ts, lost=True)
-            return None
+            out = self.relocalizer.relocalize(
+                self.state, feats, self.frontend.inv_sigma_sq, self._split_key()
+            )
+            if out is None:
+                self._record_frame(ts, lost=True)
+                return None
+            R_r, t_r, kp_lm_r, ref = out
+            self.pose = (R_r, t_r)
+            self.vel = (
+                jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros((3,), jnp.float32),
+            )
+            self.last_kp_lm = kp_lm_r
+            self.ref_kf = ref
+            self.tracking_state = TrackerState.TRACKING
+            return self._record_frame(ts, lost=False)
         self.tracking_state = TrackerState.TRACKING
 
         # Update landmark observed/visible statistics on device.
@@ -187,6 +248,35 @@ class System:
             lm_n_vis=st.lm_n_vis + res.lm_vis.astype(jnp.int32),
             lm_n_fnd=st.lm_n_fnd + res.lm_fnd.astype(jnp.int32),
         )
+
+        # Line tracking: associate map lines and refine the pose jointly
+        # (reference: pose_optimizer_extended_line path).
+        self._seg_line_idx = None
+        R_res, t_res = res.R, res.t
+        if self.with_lines and self.next_line > 0:
+            from structure_plp_slam_tpu.models import line_mapper
+
+            seg_lines = line_mapper.match_lines_to_frame(
+                self.camera, self.state,
+                feats["seg"], feats["seg_desc"], feats["seg_valid"],
+                R_res, t_res,
+            )
+            if int((np.asarray(seg_lines) >= 0).sum()) >= 3:
+                L = self.state.lm_pos.shape[0]
+                pts = self.state.lm_pos[jnp.clip(res.kp_lm, 0, L - 1)]
+                info = self.frontend.obs_inv_sigma_sq(feats["level"])
+                L2 = self.state.ln_pluck.shape[0]
+                pl = self.state.ln_pluck[jnp.clip(seg_lines, 0, L2 - 1)]
+                R2, t2, line_inl = line_mapper.refine_pose_with_lines(
+                    self.camera, R_res, t_res,
+                    pts, feats["xy"], info,
+                    (res.kp_lm >= 0) & feats["valid"],
+                    pl, feats["seg"], seg_lines >= 0,
+                )
+                R_res, t_res = R2, t2
+                seg_lines = jnp.where(line_inl, seg_lines, -1)
+            self._seg_line_idx = seg_lines
+            res = res._replace(R=R_res, t=t_res)
 
         # Motion model update.
         R_new, t_new = res.R, res.t
@@ -199,6 +289,7 @@ class System:
         self.last_kp_lm = res.kp_lm
         self.ref_kf = int(res.ref_kf)
         self.frames_since_kf += 1
+        self._publish(feats, res.kp_lm, ts)
 
         # Keyframe decision (reference: keyframe_inserter.cc:54-114
         # condition B: tracked < 0.9 * reliable-in-ref; A-conditions are
@@ -248,6 +339,7 @@ class System:
                 return False
             self.next_kf = 1
             self.next_lm = n
+            self.loop_closer.add_keyframe(self.state, 0)
             self.last_kp_lm = self.state.kf_lm_idx[0]
             self.pose = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
             self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
@@ -319,6 +411,8 @@ class System:
         )
         self.next_kf = 2
         self.next_lm = count
+        self.loop_closer.add_keyframe(self.state, 0)
+        self.loop_closer.add_keyframe(self.state, 1)
 
         # Initial global BA over the two views (reference: initializer.cc
         # :306-307 runs 20 iterations of global BA).
@@ -369,6 +463,39 @@ class System:
                 )
                 self.next_lm += int(n_new)
 
+        # Line landmarks: register tracked associations, then triangulate
+        # new lines with the best covisible neighbor (reference: parallel
+        # line-triangulation thread, mapping_module.cc:407-408).
+        if self.with_lines:
+            from structure_plp_slam_tpu.models import line_mapper
+
+            if self._seg_line_idx is not None:
+                self.state = self.state._replace(
+                    kf_line_idx=self.state.kf_line_idx.at[slot].set(
+                        self._seg_line_idx
+                    )
+                )
+            if self.next_line < (
+                self.state.ln_pluck.shape[0] - self.frontend.max_lines
+            ):
+                # Depth path first (RGB-D/stereo), then two-view
+                # triangulation for leftovers / monocular.
+                self.state, n_depth = line_mapper.lines_from_depth(
+                    self.camera, self.state, slot, self.next_line
+                )
+                self.next_line += int(n_depth)
+            if self.next_kf >= 2 and self.next_line < (
+                self.state.ln_pluck.shape[0] - self.frontend.max_lines
+            ):
+                W = np.array(ms.covisibility_matrix(self.state)[slot])
+                W[slot] = 0
+                nb = int(np.argmax(W))
+                if W[nb] >= 15:
+                    self.state, n_new = line_mapper.triangulate_lines_pair(
+                        self.camera, self.state, slot, nb, self.next_line
+                    )
+                    self.next_line += int(n_new)
+
         # Fuse duplicates with the local map.
         kf_mask = jnp.zeros((self.max_keyframes,), bool).at[slot].set(True)
         lm_local = ms.local_landmark_mask(self.state, kf_mask)
@@ -376,18 +503,90 @@ class System:
             self.camera, self.state, slot, lm_local
         )
 
+        # Plane landmarks from instance segmentation (reference:
+        # Planar_Mapping_module::process_new_kf, mapping_module.cc:242-248).
+        if self._cur_seg_mask is not None and self.next_plane < (
+            self.state.pl_coef.shape[0] - 8
+        ):
+            from structure_plp_slam_tpu.models import planar_mapper
+
+            labels = planar_mapper.label_keypoints(
+                jnp.asarray(self._cur_seg_mask, jnp.int32),
+                feats["xy"],
+                feats["valid"],
+            )
+            scale = self._map_scale(slot)
+            self.state, n_pl = planar_mapper.detect_planes(
+                self.state, slot, labels, self.next_plane,
+                self._split_key(), jnp.float32(scale),
+            )
+            self.next_plane += int(n_pl)
+            self.state, _ = planar_mapper.merge_planes(
+                self.state, jnp.float32(scale)
+            )
+            self.state = planar_mapper.refine_planes(
+                self.state, jnp.float32(scale)
+            )
+            self.state = planar_mapper.snap_points_to_planes(
+                self.state, jnp.float32(scale)
+            )
+
         # Local BA.
         if self.next_kf >= 3:
             self.state, _ = mapper.local_ba(
                 self.camera, self.state, slot, self.frontend.inv_sigma_sq
             )
-        # Keyframe culling.
+        # Keyframe culling (+ retrieval-index eviction for culled slots).
         if self.next_kf >= 5:
+            valid_before = np.asarray(self.state.kf_valid)
             self.state, _ = mapper.cull_keyframes(self.state, slot)
+            culled = valid_before & ~np.asarray(self.state.kf_valid)
+            for k in np.where(culled)[0]:
+                self.loop_closer.bow.remove(int(k))
 
         # Refresh current-frame associations from the stored keyframe.
         self.last_kp_lm = self.state.kf_lm_idx[slot]
         self.ref_kf = slot
+
+        # Loop closing (reference: the keyframe flows to the
+        # global-optimization thread's queue, mapping_module.cc:150).
+        self.loop_closer.add_keyframe(self.state, slot)
+        if self.enable_loop_closing and self.next_kf >= 8:
+            cand = self.loop_closer.detect(self.state, slot)
+            if cand is not None:
+                val = self.loop_closer.validate(
+                    self.state, slot, cand, self._split_key()
+                )
+                if val is not None:
+                    R21, t21, s21 = val
+                    self.state = self.loop_closer.correct(
+                        self.state, slot, cand, R21, t21, s21,
+                        self.frontend.inv_sigma_sq,
+                    )
+                    # Tracking continues from the corrected keyframe pose.
+                    pose_c = self.state.kf_pose[slot]
+                    self.pose = (pose_c[:, :3], pose_c[:, 3])
+                    self.vel = (
+                        jnp.eye(3, dtype=jnp.float32),
+                        jnp.zeros((3,), jnp.float32),
+                    )
+
+    # ------------------------------------------------------------------
+    def _map_scale(self, kf: int) -> float:
+        """Map scale estimate for plane thresholds (reference:
+        estimate_map_scale — mono: inverse median keyframe depth; metric
+        setups: median landmark distance, planar_mapping_module.cc:130-183).
+        """
+        L = self.state.lm_pos.shape[0]
+        lm = np.asarray(self.state.kf_lm_idx[kf])
+        ok = lm >= 0
+        if ok.sum() < 10:
+            return 1.0
+        pose = np.asarray(self.state.kf_pose[kf])
+        pts = np.asarray(self.state.lm_pos)[np.clip(lm[ok], 0, L - 1)]
+        pc = pts @ pose[:, :3].T + pose[:, 3]
+        med = float(np.median(np.linalg.norm(pc, axis=1)))
+        return max(med, 1e-3)
 
     # ------------------------------------------------------------------
     def _record_frame(self, ts: float, lost: bool) -> Optional[np.ndarray]:
@@ -437,6 +636,34 @@ class System:
     def save_keyframe_trajectory(self, path: str, fmt: str = "tum"):
         saver = traj_io.save_tum if fmt == "tum" else traj_io.save_kitti
         saver(path, self.keyframe_trajectory())
+
+    def get_frame_publisher(self):
+        return self.frame_publisher
+
+    def get_map_publisher(self):
+        return self.map_publisher
+
+    def _publish(self, feats, kp_lm, ts: float):
+        L = self.state.lm_pos.shape[0]
+        kp_lm_np = np.asarray(kp_lm)
+        plane = np.asarray(self.state.lm_plane)[np.clip(kp_lm_np, 0, L - 1)]
+        self.frame_publisher.update(
+            image=self._last_image if self._last_image is not None else
+            np.zeros((self.camera.rows, self.camera.cols), np.uint8),
+            kp_xy=feats["xy"],
+            kp_valid=feats["valid"],
+            kp_has_landmark=kp_lm_np >= 0,
+            kp_plane=np.where(kp_lm_np >= 0, plane, -1),
+            segments=feats.get("seg"),
+            seg_valid=feats.get("seg_valid"),
+            state=self.tracking_state.value,
+            num_tracked=int((kp_lm_np >= 0).sum()),
+            timestamp=ts,
+        )
+        R, t = self.pose
+        self.map_publisher.set_current_cam_pose(
+            np.asarray(jnp.concatenate([R, t[:, None]], 1))
+        )
 
     def get_landmarks(self) -> np.ndarray:
         valid = np.asarray(self.state.lm_valid)

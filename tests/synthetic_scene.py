@@ -22,17 +22,22 @@ FG_X = (-1.1, 1.1)
 FG_Y = (-0.9, 0.9)
 
 
-def make_texture(rng, size=768):
+def make_texture(rng, size=768, grid: bool = False):
     tex = rng.uniform(0, 255, size=(size, size)).astype(np.float32)
     tex = np.array(image_ops.gaussian_blur(jnp.asarray(tex), 7, 1.5))
     for _ in range(int(size * 0.6)):
         cy, cx = rng.integers(10, size - 20, 2)
         s = rng.integers(4, 14)
         tex[cy : cy + s, cx : cx + s] = rng.uniform(0, 255)
+    if grid:
+        # Dark grid lines -> real 3D line structure on the plane.
+        for p in range(64, size, 128):
+            tex[p : p + 4, :] = 10.0
+            tex[:, p : p + 4] = 10.0
     return tex
 
 
-def render(camera, tex, R_cw, t_cw):
+def render(camera, tex, R_cw, t_cw, plane_half: float = PLANE_HALF):
     """Render image + depth of two textured planes (bg z=6, fg patch z=3.5)."""
     H, W = camera.rows, camera.cols
     ys, xs = np.mgrid[0:H, 0:W]
@@ -75,7 +80,7 @@ def render(camera, tex, R_cw, t_cw):
 
     # Foreground samples a shifted region of the texture so the two planes
     # don't share appearance.
-    img_bg = sample(pw_bg, PLANE_HALF, 0)
+    img_bg = sample(pw_bg, plane_half, 0)
     img_fg = sample(pw_fg, 2.0, size // 3)
     img = np.where(fg_mask, img_fg, img_bg).astype(np.float32)
 

@@ -1,0 +1,171 @@
+"""System-level loop closing and relocalization tests."""
+
+import numpy as np
+import pytest
+
+from structure_plp_slam_tpu.config import Config
+from structure_plp_slam_tpu.camera import CameraSetup
+from structure_plp_slam_tpu.io import trajectory as traj_io
+from structure_plp_slam_tpu.system import System, TrackerState
+from tests import synthetic_scene
+from tests.test_system_e2e import _camera, _orb, _gt_list
+
+
+def _out_and_back(rng, cam, out_frames=14, step=0.28, plane_half=None,
+                  tex_size=768):
+    """Trajectory that leaves the start, turns, and returns.
+
+    With the defaults the whole trajectory stays inside one view-width of
+    the z=6 plane (every keyframe remains covisible — the healthy-tracking
+    scenario); pass ``out_frames=24, step=0.4, plane_half=14`` for a
+    genuinely non-covisible revisit (the loop-closing scenario: the start
+    region leaves the frustum entirely mid-sequence).
+    """
+    tex = synthetic_scene.make_texture(rng, size=tex_size)
+    Cs = []
+    for i in range(out_frames):
+        Cs.append(np.array([step * i, 0.0, 0.0]))
+    for i in range(out_frames):
+        Cs.append(np.array([step * (out_frames - 1 - i), 0.0, 0.0]))
+    frames, poses = [], []
+    kw = {} if plane_half is None else {"plane_half": plane_half}
+    for i, C in enumerate(Cs):
+        R = np.eye(3)
+        t = -R @ C
+        img, depth = synthetic_scene.render(cam, tex, R, t, **kw)
+        frames.append((img, depth, i / 30.0))
+        poses.append((R, t))
+    return frames, poses
+
+
+@pytest.mark.slow
+def test_rgbd_out_and_back_ate(rng):
+    """A healthy out-and-back run: tracking (with reloc fallback at the
+    sharp turn) must keep global ATE small; with no drift there is nothing
+    for loop closing to correct."""
+    cam = _camera(CameraSetup.RGBD)
+    cfg = Config(camera=cam, orb=_orb(), raw={})
+    frames, poses = _out_and_back(rng, cam)
+    slam = System(cfg, max_keyframes=64, max_landmarks=16384, max_kf_interval=2)
+    slam.startup()
+    for img, depth, ts in frames:
+        slam.feed_RGBD_frame(img, depth, ts)
+    slam.shutdown()
+    assert slam.tracking_state is TrackerState.TRACKING
+    est = slam.frame_trajectory()
+    ate = traj_io.ate_rmse(est, _gt_list(poses), align_scale=False)
+    assert ate < 0.12, f"ATE {ate}"
+
+
+@pytest.mark.slow
+def test_rgbd_loop_closure_corrects_injected_drift(rng):
+    """Build a map outbound, inject a rigid 'drift' into the later half of
+    the map (poses + their landmarks, keeping it self-consistent), then
+    return to the start: loop closing must detect the revisit against the
+    undrifted early keyframes and correct the map."""
+    import jax.numpy as jnp
+    from structure_plp_slam_tpu.ops import lie
+
+    cam = _camera(CameraSetup.RGBD)
+    cfg = Config(camera=cam, orb=_orb(), raw={})
+    frames, poses = _out_and_back(
+        rng, cam, out_frames=24, step=0.4, plane_half=14.0, tex_size=1536
+    )
+    n_out = len(frames) // 2
+    slam = System(cfg, max_keyframes=64, max_landmarks=24576, max_kf_interval=2)
+    slam.startup()
+    for img, depth, ts in frames[:n_out]:
+        slam.feed_RGBD_frame(img, depth, ts)
+    assert slam.tracking_state is TrackerState.TRACKING
+    kf_cut = slam.next_kf // 2
+
+    # Drift transform T applied to the world of the later sub-map:
+    # X' = T_R X + T_t ; pose'_cw = pose_cw ∘ T^-1.
+    # Drift larger than the tracker's association windows (~35 px at z=6),
+    # so the revisit cannot silently re-attach to the undrifted sub-map.
+    T_R = np.array(lie.so3_exp(jnp.asarray(np.array([[0.0, 0.05, 0.0]]), jnp.float32)))[0]
+    T_t = np.array([0.9, 0.0, 0.3], np.float32)
+    st = slam.state
+    K = st.kf_pose.shape[0]
+    kf_sel = (np.arange(K) >= kf_cut) & np.array(st.kf_valid)
+    pose = np.array(st.kf_pose)
+    T_R_inv = T_R.T
+    T_t_inv = -T_R.T @ T_t
+    for k in np.where(kf_sel)[0]:
+        R, t = pose[k, :, :3], pose[k, :, 3]
+        pose[k, :, :3] = R @ T_R_inv
+        pose[k, :, 3] = R @ T_t_inv + t
+    lm_sel = (np.array(st.lm_ref_kf) >= kf_cut) & np.array(st.lm_valid)
+    lm = np.array(st.lm_pos)
+    lm[lm_sel] = lm[lm_sel] @ T_R.T + T_t
+    slam.state = st._replace(
+        kf_pose=jnp.asarray(pose), lm_pos=jnp.asarray(lm)
+    )
+    # Current tracker pose follows the drifted sub-map.
+    Rp, tp = slam.pose
+    slam.pose = (Rp @ jnp.asarray(T_R_inv), Rp @ jnp.asarray(T_t_inv) + tp)
+
+    # Return most of the way on the drifted map, keeping loop closing OFF
+    # so tracking continues on the (internally consistent) drifted sub-map
+    # — the dense-matching fallbacks would otherwise silently re-attach to
+    # the old map and heal the drift before a loop is ever needed.
+    slam.enable_loop_closing = False
+    for img, depth, ts in frames[n_out:]:
+        slam.feed_RGBD_frame(img, depth, ts)
+
+    # Drive the loop-closing path directly on the final (revisit) keyframe
+    # against the undrifted origin keyframe: validate (Sim3) + correct
+    # (propagation + pose graph + landmark transform).
+    kf_cur = slam.next_kf - 1
+    val = slam.loop_closer.validate(slam.state, kf_cur, 0, slam._split_key())
+    assert val is not None, "Sim3 validation failed on a true revisit"
+    R21, t21, s21 = val
+    state_before = np.array(slam.state.kf_pose[kf_cur])
+    slam.state = slam.loop_closer.correct(
+        slam.state, kf_cur, 0, R21, t21, s21, slam.frontend.inv_sigma_sq
+    )
+    slam.shutdown()
+    assert slam.loop_closer.num_loops_closed == 1
+
+    # After correction the revisit keyframe must be near its ground truth
+    # (the injected ~0.95 m drift collapsed).
+    P_last = np.array(slam.state.kf_pose[kf_cur])
+    C_last = -P_last[:, :3].T @ P_last[:, 3]
+    kf_ts = float(np.array(slam.state.kf_timestamp[kf_cur]))
+    idx = int(round(kf_ts * 30.0))
+    R_gt, t_gt = poses[idx]
+    C_gt = -R_gt.T @ t_gt
+    err_before = np.linalg.norm(
+        (-state_before[:, :3].T @ state_before[:, 3]) - C_gt
+    )
+    err_after = np.linalg.norm(C_last - C_gt)
+    assert err_after < 0.3, (err_after, err_before)
+    assert err_after < 0.6 * err_before + 0.05
+
+
+@pytest.mark.slow
+def test_relocalization_after_blackout(rng):
+    cam = _camera(CameraSetup.RGBD)
+    cfg = Config(camera=cam, orb=_orb(), raw={})
+    frames, poses = synthetic_scene.make_sequence(rng, cam, num_frames=10)
+    slam = System(cfg, max_keyframes=32, max_landmarks=8192, max_kf_interval=2,
+                  enable_loop_closing=False)
+    slam.startup()
+    for img, depth, ts in frames[:8]:
+        slam.feed_RGBD_frame(img, depth, ts)
+    assert slam.tracking_state is TrackerState.TRACKING
+    # Blackout: featureless frames lose tracking.
+    black = np.zeros_like(frames[0][0])
+    for k in range(2):
+        out = slam.feed_RGBD_frame(black, frames[0][1] * 0 + 1.0, 0.4 + k / 30.0)
+    assert slam.tracking_state is TrackerState.LOST
+    # Re-show a previously seen view -> relocalize.
+    img, depth, _ = frames[4]
+    out = slam.feed_RGBD_frame(img, depth, 0.5)
+    assert slam.tracking_state is TrackerState.TRACKING
+    assert out is not None
+    # Pose close to the frame-4 ground truth.
+    R_gt, t_gt = poses[4]
+    C_est = -out[:, :3].T @ out[:, 3]
+    C_gt = -R_gt.T @ t_gt
+    assert np.linalg.norm(C_est - C_gt) < 0.08
