@@ -32,6 +32,15 @@ def _common(sub):
     sub.add_argument("--traj-format", choices=["tum", "kitti"], default="tum")
     sub.add_argument("--max-keyframes", type=int, default=256)
     sub.add_argument("--max-landmarks", type=int, default=32768)
+    sub.add_argument("--with-lines", action="store_true",
+                     help="enable line tracking (reference: *_with_line drivers)")
+    sub.add_argument("--mask-dir", default=None,
+                     help="PlaneRecNet instance-mask directory (planeSeg drivers)")
+    sub.add_argument("--map-db-out", default=None,
+                     help="save map snapshot after the run")
+    sub.add_argument("--map-db-in", default=None,
+                     help="load map snapshot before the run (localization "
+                          "mode: mapping disabled; reference run_image_localization)")
 
 
 def main(argv=None):
@@ -61,20 +70,34 @@ def main(argv=None):
         frames = frames[: args.max_frames]
 
     slam = System(
-        cfg, max_keyframes=args.max_keyframes, max_landmarks=args.max_landmarks
+        cfg, max_keyframes=args.max_keyframes, max_landmarks=args.max_landmarks,
+        with_lines=args.with_lines,
     )
-    slam.startup()
+    if args.map_db_in:
+        slam.load_map_database(args.map_db_in)
+        slam.disable_mapping_module()
+        slam.startup(need_initialize=False)
+    else:
+        slam.startup()
     track_times = []
     for rec in frames:
         img = datasets.imread_gray(rec.img_path)
+        mask = None
+        if rec.mask_path:
+            mask = datasets.imread_depth(rec.mask_path).astype("int32")
         t0 = time.perf_counter()
         if cfg.camera.setup is CameraSetup.RGBD and rec.depth_path:
             depth = datasets.imread_depth(rec.depth_path)
-            slam.feed_RGBD_frame(img, depth, rec.timestamp)
+            slam.feed_RGBD_frame(img, depth, rec.timestamp, seg_mask=mask)
+        elif rec.right_img_path:
+            right = datasets.imread_gray(rec.right_img_path)
+            slam.feed_stereo_frame(img, right, rec.timestamp, seg_mask=mask)
         else:
-            slam.feed_monocular_frame(img, rec.timestamp)
+            slam.feed_monocular_frame(img, rec.timestamp, seg_mask=mask)
         track_times.append(time.perf_counter() - t0)
     slam.shutdown()
+    if args.map_db_out:
+        slam.save_map_database(args.map_db_out)
 
     slam.save_frame_trajectory(args.frame_traj, fmt=args.traj_format)
     slam.save_keyframe_trajectory(args.keyframe_traj, fmt=args.traj_format)

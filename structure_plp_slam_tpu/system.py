@@ -548,6 +548,9 @@ class System:
         self.last_kp_lm = self.state.kf_lm_idx[slot]
         self.ref_kf = slot
 
+        # Stream the updated map to attached viewers.
+        self._publish_map_packet()
+
         # Loop closing (reference: the keyframe flows to the
         # global-optimization thread's queue, mapping_module.cc:150).
         self.loop_closer.add_keyframe(self.state, slot)
@@ -636,6 +639,77 @@ class System:
     def save_keyframe_trajectory(self, path: str, fmt: str = "tum"):
         saver = traj_io.save_tum if fmt == "tum" else traj_io.save_kitti
         saver(path, self.keyframe_trajectory())
+
+    # ------------------------------------------------------------------
+    # Map persistence + module toggles (reference: system.h:91-100,
+    # 112-192 — save/load map database, enable/disable mapping).
+    # ------------------------------------------------------------------
+    def save_map_database(self, path: str):
+        from structure_plp_slam_tpu.io import map_io
+
+        map_io.save_map(
+            path, self.state, next_kf=self.next_kf, next_lm=self.next_lm,
+            camera_name=self.camera.name,
+        )
+
+    def load_map_database(self, path: str):
+        """Load a snapshot; tracking starts Lost and relocalizes against
+        the loaded map (reference: run_image_localization.cc:66-76)."""
+        from structure_plp_slam_tpu.io import map_io
+
+        self.state, self.next_kf, self.next_lm = map_io.load_map(path)
+        self.max_keyframes = self.state.kf_pose.shape[0]
+        self.max_landmarks = self.state.lm_pos.shape[0]
+        # Rebuild the retrieval index from keyframe descriptors.
+        kf_valid = np.asarray(self.state.kf_valid)
+        for k in np.where(kf_valid)[0]:
+            self.loop_closer.add_keyframe(self.state, int(k))
+        self.tracking_state = TrackerState.LOST
+
+    def disable_mapping_module(self):
+        self.enable_mapping = False
+
+    def enable_mapping_module(self):
+        self.enable_mapping = True
+
+    def disable_loop_detector(self):
+        self.enable_loop_closing = False
+
+    def enable_loop_detector(self):
+        self.enable_loop_closing = True
+
+    def start_native_publisher(self, port: int = 0) -> int:
+        """Start the native TCP map publisher (reference: socket_publisher
+        streaming to the web viewer). Returns the bound port."""
+        from structure_plp_slam_tpu import native
+
+        self._native_pub = native.NativePublisher(port)
+        return self._native_pub.port
+
+    def _publish_map_packet(self):
+        pub = getattr(self, "_native_pub", None)
+        if pub is None or pub.num_clients == 0:
+            return
+        import msgpack
+
+        valid = np.asarray(self.state.lm_valid)
+        pts = np.asarray(self.state.lm_pos)[valid].astype(np.float32)
+        kf_valid = np.asarray(self.state.kf_valid)
+        kfs = np.asarray(self.state.kf_pose)[kf_valid].astype(np.float32)
+        R, t = self.pose
+        pose = np.asarray(jnp.concatenate([R, t[:, None]], 1), np.float32)
+        pub.publish(
+            msgpack.packb(
+                {
+                    "landmarks": pts.tobytes(),
+                    "num_landmarks": int(len(pts)),
+                    "keyframes": kfs.tobytes(),
+                    "num_keyframes": int(len(kfs)),
+                    "current_pose": pose.tobytes(),
+                },
+                use_bin_type=True,
+            )
+        )
 
     def get_frame_publisher(self):
         return self.frame_publisher
