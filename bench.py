@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(breakdown: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -74,11 +74,15 @@ def main():
     t = jnp.zeros((3,), jnp.float32)
     last = state.kf_lm_idx[0]
 
+    from structure_plp_slam_tpu.data import map_state as ms
+
+    ind = ms.observation_indicator(state)
+
     def step(img):
         feats = fe.mono(img)
         return tracker.track_frame(
             cam, state, feats, R, t, last, jnp.int32(0), fe.inv_sigma_sq,
-            num_levels=8, scale_factor=1.2,
+            ind, num_levels=8, scale_factor=1.2,
         )
 
     # Warmup/compile.
@@ -93,6 +97,48 @@ def main():
     dt = time.perf_counter() - t0
     fps = n_iter / dt
 
+    if breakdown:
+        import jax
+
+        def timeit(fn, *args, n=30):
+            r = fn(*args)
+            jax.tree_util.tree_leaves(r)[0].block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn(*args)
+            jax.tree_util.tree_leaves(r)[0].block_until_ready()
+            return (time.perf_counter() - t0) / n * 1000.0
+
+        from structure_plp_slam_tpu.ops import matching as m
+        from structure_plp_slam_tpu.models import pose_opt
+
+        img0 = jnp.asarray(imgs[0])
+        t_fe = timeit(fe.mono, img0)
+        feats = fe.mono(img0)
+        kp_bits = m.unpack_desc_bits(feats["desc"])
+        lm_bits = m.unpack_desc_bits(state.lm_desc)
+        t_mat = timeit(
+            jax.jit(
+                lambda a, b: m.distance_matrix_mxu(a, b, state.lm_valid, feats["valid"])
+            ),
+            lm_bits,
+            kp_bits,
+        )
+        pts = state.lm_pos[jnp.clip(last, 0, L - 1)]
+        t_po = timeit(
+            lambda: pose_opt.optimize_pose(
+                cam, R, t, pts, feats["xy"], feats["xr"],
+                fe.obs_inv_sigma_sq(feats["level"]), last >= 0,
+            )
+        )
+        t_full = timeit(step, imgs[0])
+        print(json.dumps({
+            "frontend_ms": round(t_fe, 3),
+            "dist_matmul_ms": round(t_mat, 3),
+            "pose_opt_ms": round(t_po, 3),
+            "full_track_ms": round(t_full, 3),
+        }))
+
     print(
         json.dumps(
             {
@@ -106,4 +152,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(breakdown="--breakdown" in sys.argv)

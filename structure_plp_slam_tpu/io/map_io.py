@@ -33,7 +33,13 @@ def _unarr(d) -> np.ndarray:
 
 
 def save_map(path: str, state: ms.MapState, *, next_kf: int, next_lm: int,
-             camera_name: str = ""):
+             camera_name: str = "", camera=None):
+    doc = _build_doc(state, next_kf, next_lm, camera_name, camera)
+    with open(path, "wb") as f:
+        f.write(msgpack.packb(doc, use_bin_type=True))
+
+
+def _build_doc(state, next_kf, next_lm, camera_name="", camera=None):
     doc = {
         "version": _FORMAT_VERSION,
         "camera_name": camera_name,
@@ -41,8 +47,26 @@ def save_map(path: str, state: ms.MapState, *, next_kf: int, next_lm: int,
         "landmark_next_id": next_lm,
         "arrays": {name: _arr(getattr(state, name)) for name in state._fields},
     }
-    with open(path, "wb") as f:
-        f.write(msgpack.packb(doc, use_bin_type=True))
+    if camera is not None:
+        # Full camera round-trip (reference: data/camera_database — the
+        # snapshot registers camera models for reload).
+        import dataclasses
+
+        doc["cameras"] = {
+            camera.name: {
+                k: (v.value if hasattr(v, "value") else v)
+                for k, v in dataclasses.asdict(camera).items()
+            }
+        }
+    return doc
+
+
+def save_map_async(writer, state: ms.MapState, *, next_kf: int, next_lm: int,
+                   camera_name: str = "", camera=None):
+    """Serialize + hand the blob to a native AsyncSnapshotWriter
+    (checkpointing without stalling the tracking loop)."""
+    doc = _build_doc(state, next_kf, next_lm, camera_name, camera)
+    writer.submit(msgpack.packb(doc, use_bin_type=True))
 
 
 def load_map(path: str) -> Tuple[ms.MapState, int, int]:
@@ -53,3 +77,10 @@ def load_map(path: str) -> Tuple[ms.MapState, int, int]:
     arrays = {k: jnp.asarray(_unarr(v)) for k, v in doc["arrays"].items()}
     state = ms.MapState(**arrays)
     return state, int(doc["keyframe_next_id"]), int(doc["landmark_next_id"])
+
+
+def load_cameras(path: str) -> dict:
+    """Camera parameter dicts stored in a snapshot (may be empty)."""
+    with open(path, "rb") as f:
+        doc = msgpack.unpackb(f.read(), raw=False)
+    return doc.get("cameras", {})

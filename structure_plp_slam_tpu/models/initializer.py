@@ -46,6 +46,8 @@ def try_initialize_mono(
     area matching, H and F model estimation, selection by
     ``rel_score_H > 0.40``, pose recovery by cheirality, triangulation.
     """
+    from structure_plp_slam_tpu.camera import CameraModel
+
     bits1 = matching.unpack_desc_bits(feats1["desc"])
     bits2 = matching.unpack_desc_bits(feats2["desc"])
     m12 = matching.match_in_area(
@@ -62,8 +64,26 @@ def try_initialize_mono(
     b2 = feats2["bearing"][m_safe]
 
     k1, k2 = jax.random.split(key)
-    H, in_h, s_h = ransac.homography_ransac(uv1, uv2, has, k1)
     E, in_e, s_e = ransac.essential_ransac(b1, b2, has, k2)
+    if camera.model is CameraModel.EQUIRECTANGULAR:
+        # Equirectangular init: essential matrix on sphere bearings only
+        # (reference: initialize/bearing_vector.cc — no homography model
+        # on the sphere).
+        Rs_e, ts_e = ransac.decompose_essential(E)
+        R, t, pts, good, count = ransac.select_pose_by_cheirality(
+            Rs_e, ts_e, b1, b2, in_e & has
+        )
+        return MonoInitResult(
+            success=count >= min_triangulated,
+            R_2w=R,
+            t_2w=t,
+            matches=jnp.where(good, m12, -1),
+            points_w=pts,
+            point_ok=good,
+            num_points=count,
+            used_homography=jnp.asarray(False),
+        )
+    H, in_h, s_h = ransac.homography_ransac(uv1, uv2, has, k1)
 
     # Put the essential score in pixel units to compare with H
     # (angular err * f^2 ~ px^2; reference compares chi2 sums directly).

@@ -145,6 +145,65 @@ def lines_from_depth(camera, state: ms.MapState, kf, base_slot):
 
 
 @functools.partial(jax.jit, static_argnames=("camera",))
+def refresh_lines(camera, state: ms.MapState):
+    """Re-derive line landmarks from their reference keyframe's stored
+    segment + endpoint depths under the CURRENT keyframe poses.
+
+    This is the working stand-in for the reference's line vertices inside
+    extended BA (local_bundle_adjuster_extended_line.cc): after bundle
+    adjustment or loop correction moves keyframes, each line is rebuilt
+    from its anchored observation so the line map stays consistent with
+    the optimized poses (including the reference's post-BA endpoint
+    re-trimming, loop_bundle_adjuster.h:87).
+    """
+    K, ML = state.kf_line_idx.shape
+    L2 = state.ln_pluck.shape[0]
+
+    seg = state.kf_seg            # [K, ML, 4]
+    d = state.kf_seg_depth        # [K, ML, 2]
+    li = state.kf_line_idx        # [K, ML]
+    R = state.kf_pose[:, :, :3]
+    t = state.kf_pose[:, :, 3]
+
+    def backproj(x, y, z):
+        return jnp.stack(
+            [(x - camera.cx) / camera.fx * z,
+             (y - camera.cy) / camera.fy * z, z], axis=-1)
+
+    x1 = seg[..., 0] + 0.1 * (seg[..., 2] - seg[..., 0])
+    y1 = seg[..., 1] + 0.1 * (seg[..., 3] - seg[..., 1])
+    x2 = seg[..., 0] + 0.9 * (seg[..., 2] - seg[..., 0])
+    y2 = seg[..., 1] + 0.9 * (seg[..., 3] - seg[..., 1])
+    p1c = backproj(x1, y1, d[..., 0])      # [K, ML, 3]
+    p2c = backproj(x2, y2, d[..., 1])
+    # world = R^T (p_cam - t), batched over keyframes and segments.
+    p1w = jnp.einsum("kij,kmi->kmj", R, p1c - t[:, None, :])
+    p2w = jnp.einsum("kij,kmi->kmj", R, p2c - t[:, None, :])
+
+    # Scatter: only the observation in the line's OWN reference keyframe
+    # refreshes it, and only when that observation has depth.
+    kf_ids = jax.lax.broadcasted_iota(jnp.int32, (K, ML), 0)
+    is_ref = (
+        (li >= 0)
+        & (state.ln_ref_kf[jnp.clip(li, 0, L2 - 1)] == kf_ids)
+        & (d[..., 0] > 0.05)
+        & (d[..., 1] > 0.05)
+        & state.kf_seg_valid
+        & state.kf_valid[:, None]
+    )
+    tgt = jnp.where(is_ref, li, L2).reshape(-1)
+    p1f = p1w.reshape(-1, 3)
+    p2f = p2w.reshape(-1, 3)
+    pl = lg.plucker_from_endpoints(p1f, p2f)
+    eps = jnp.concatenate([p1f, p2f], axis=-1)
+    state = state._replace(
+        ln_pluck=state.ln_pluck.at[tgt].set(pl, mode="drop"),
+        ln_endpoints=state.ln_endpoints.at[tgt].set(eps, mode="drop"),
+    )
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("camera",))
 def triangulate_lines_pair(camera, state: ms.MapState, kf1, kf2, base_slot):
     """Create 3D lines from unassociated segments of two keyframes.
 

@@ -92,6 +92,7 @@ def track_frame(
     last_kp_lm,
     prev_ref_kf,
     inv_sigma_sq_table,
+    obs_indicator,
     *,
     num_levels: int = 8,
     scale_factor: float = 1.2,
@@ -125,7 +126,12 @@ def track_frame(
     )
     last_lm_mask = last_lm_mask & state.lm_valid
 
-    def assoc_and_opt(R, t, lm_mask, radius_table, max_h, ratio, lm_bits_cache=None):
+    # ONE [L, N] descriptor-distance matmul serves every strategy and the
+    # local-map stage — only the geometric masks change between them.
+    lm_bits = matching.unpack_desc_bits(state.lm_desc)
+    d_all = matching.distance_matrix_mxu(lm_bits, kp_bits, state.lm_valid, kp_valid)
+
+    def assoc(R, t, lm_mask, radius_table, max_h, ratio):
         uv, pc = _project_landmarks(camera, R, t, state.lm_pos)
         vis, dist = _visibility(
             camera, uv, pc, state.lm_normal, state.lm_dist_min, state.lm_dist_max
@@ -134,50 +140,21 @@ def track_frame(
         pred_level = matching.predict_scale_level(
             dist, state.lm_dist_max, scale_factor, num_levels
         )
-        lm_bits = (
-            matching.unpack_desc_bits(state.lm_desc)
-            if lm_bits_cache is None
-            else lm_bits_cache
-        )
-        kp_best, d_best = matching.match_by_projection(
+        kp_best, d_best = matching.match_by_projection_precomputed(
+            d_all,
             uv,
             pred_level,
-            lm_bits,
             cand,
             feats["xy"],
             feats["level"],
-            kp_bits,
-            kp_valid,
             radius_by_level=radius_table,
             max_hamming=max_h,
             ratio=ratio,
         )
-        kp_lm = _assoc_to_kp_lm(
-            jnp.arange(L, dtype=jnp.int32), kp_best, d_best, N
-        )
-        # Build pose-opt observations from associations.
-        has = kp_lm >= 0
-        pts = state.lm_pos[jnp.clip(kp_lm, 0, L - 1)]
-        res = pose_opt.optimize_pose(
-            camera,
-            R,
-            t,
-            pts,
-            feats["xy"],
-            feats["xr"],
-            obs_info,
-            has & kp_valid,
-        )
-        kp_lm = jnp.where(res.inliers, kp_lm, -1)
-        return res, kp_lm, cand, lm_bits
+        return _assoc_to_kp_lm(jnp.arange(L, dtype=jnp.int32), kp_best, d_best, N)
 
-    lm_bits = matching.unpack_desc_bits(state.lm_desc)
-    res_n, kp_lm_n, _, _ = assoc_and_opt(
-        R_pred, t_pred, last_lm_mask, radius_table_narrow, 50, None, lm_bits
-    )
-    res_w, kp_lm_w, _, _ = assoc_and_opt(
-        R_pred, t_pred, last_lm_mask, radius_table_wide, 50, None, lm_bits
-    )
+    kp_lm_n0 = assoc(R_pred, t_pred, last_lm_mask, radius_table_narrow, 50, None)
+    kp_lm_w0 = assoc(R_pred, t_pred, last_lm_mask, radius_table_wide, 50, None)
 
     # Fallback strategy: descriptor-only matching against the reference
     # keyframe's landmarks, no spatial windows (the reference's
@@ -191,30 +168,38 @@ def track_frame(
     rev_r = jnp.argmin(d_ref, axis=0)
     ok_r = (best_rd <= 50) & (rev_r[best_r] == jnp.arange(N))
     kp_lm_f0 = jnp.where(ok_r, state.kf_lm_idx[prev_ref_kf][best_r], -1)
-    res_f = pose_opt.optimize_pose(
-        camera,
-        R_pred,
-        t_pred,
-        state.lm_pos[jnp.clip(kp_lm_f0, 0, L - 1)],
-        feats["xy"],
-        feats["xr"],
-        obs_info,
-        (kp_lm_f0 >= 0) & kp_valid,
-    )
-    kp_lm_f = jnp.where(res_f.inliers, kp_lm_f0, -1)
+
+    # Solve all three strategies as ONE vmapped LM (triples the per-step
+    # batch — which TPUs love — instead of tripling the sequential kernel
+    # chain). Shorter 2x8 schedule here; the local-map stage below runs the
+    # full-depth solve.
+    kp_lm_s = jnp.stack([kp_lm_n0, kp_lm_w0, kp_lm_f0])  # [3, N]
+    pts_s = state.lm_pos[jnp.clip(kp_lm_s, 0, L - 1)]
+    valid_s = (kp_lm_s >= 0) & kp_valid[None]
+    res_s = jax.vmap(
+        lambda pts, val: pose_opt.optimize_pose(
+            camera, R_pred, t_pred, pts, feats["xy"], feats["xr"],
+            obs_info, val, num_trials=2, num_iters=8,
+        )
+    )(pts_s, valid_s)
+    kp_lm_post = jnp.where(res_s.inliers, kp_lm_s, -1)
 
     # Pick the strategy with the most inliers, preferring narrow when it
     # has enough (matches the reference's fallback ladder).
-    use_narrow = res_n.num_inliers >= 20
-    use_wide = ~use_narrow & (res_w.num_inliers >= jnp.maximum(res_f.num_inliers, 20))
-    R1 = jnp.where(use_narrow, res_n.R, jnp.where(use_wide, res_w.R, res_f.R))
-    t1 = jnp.where(use_narrow, res_n.t, jnp.where(use_wide, res_w.t, res_f.t))
-    kp_lm_1 = jnp.where(use_narrow, kp_lm_n, jnp.where(use_wide, kp_lm_w, kp_lm_f))
+    n_inl = res_s.num_inliers
+    use_narrow = n_inl[0] >= 20
+    use_wide = ~use_narrow & (n_inl[1] >= jnp.maximum(n_inl[2], 20))
+    sel = jnp.where(use_narrow, 0, jnp.where(use_wide, 1, 2))
+    R1 = res_s.R[sel]
+    t1 = res_s.t[sel]
+    kp_lm_1 = kp_lm_post[sel]
 
     # ---------------- stage 2: local map -----------------------------------
     # Reference keyframe = keyframe sharing most current landmarks
-    # (local_map_updater.cc). Covisibility from the observation indicator.
-    ind = ms.observation_indicator(state)  # [K, L]
+    # (local_map_updater.cc). The observation indicator [K, L] only changes
+    # when the MAP changes (keyframe insertion / culling / loop), so the
+    # host caches it between keyframes instead of re-scattering per frame.
+    ind = obs_indicator
     cur_lm = jnp.zeros((L,), jnp.float32).at[jnp.clip(kp_lm_1, 0, L - 1)].add(
         (kp_lm_1 >= 0).astype(jnp.float32)
     )
@@ -226,7 +211,9 @@ def track_frame(
     # capped implicitly by the mask (reference caps at 60).
     W_ref = ind @ ind[ref_kf]  # [K] shared counts with ref
     kf_local = state.kf_valid & ((W_ref >= 15.0) | (jnp.arange(ind.shape[0]) == ref_kf))
-    lm_local = ms.local_landmark_mask(state, kf_local)
+    lm_local = (
+        jnp.einsum("k,kl->l", kf_local.astype(jnp.float32), ind) > 0
+    ) & state.lm_valid
 
     # Associate local-map landmarks (excluding ones already matched), then
     # optimize over the UNION of stage-1 and stage-2 associations
@@ -244,9 +231,10 @@ def track_frame(
         dist2, state.lm_dist_max, scale_factor, num_levels
     )
     kp_free = kp_valid & (kp_lm_1 < 0)
-    kp_best2, d_best2 = matching.match_by_projection(
-        uv2, pred_level2, lm_bits, cand2,
-        feats["xy"], feats["level"], kp_bits, kp_free,
+    d_free = jnp.where(kp_free[None, :], d_all, HAMMING_MASKED)
+    kp_best2, d_best2 = matching.match_by_projection_precomputed(
+        d_free, uv2, pred_level2, cand2,
+        feats["xy"], feats["level"],
         radius_by_level=radius_table_narrow, max_hamming=50, ratio=0.85,
     )
     kp_lm_2 = _assoc_to_kp_lm(jnp.arange(L, dtype=jnp.int32), kp_best2, d_best2, N)
@@ -276,12 +264,13 @@ def track_frame(
 
 
 @functools.partial(jax.jit, static_argnames=("camera",))
-def count_trackable_in_ref(camera, state: ms.MapState, ref_kf, min_obs):
+def count_trackable_in_ref(camera, state: ms.MapState, ref_kf, min_obs,
+                           obs_indicator):
     """Number of landmarks the reference keyframe tracks with >= ``min_obs``
     observations (keyframe_inserter decision input,
     keyframe_inserter.cc:54-114; min_obs drops while the map is young,
     mirroring the reference's nMinObs relaxation for <= 2 keyframes)."""
-    counts = ms.landmark_observation_counts(state)
+    counts = jnp.sum(obs_indicator, axis=0).astype(jnp.int32)
     lm = state.kf_lm_idx[ref_kf]
     ok = (lm >= 0) & state.kf_kp_valid[ref_kf]
     c = counts[jnp.clip(lm, 0, None)]

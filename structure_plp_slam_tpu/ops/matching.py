@@ -62,6 +62,45 @@ def distance_matrix_mxu(bits_a, bits_b, valid_a=None, valid_b=None):
     return d
 
 
+def match_by_projection_precomputed(
+    d,
+    pred_uv,
+    pred_level,
+    lm_valid,
+    kp_xy,
+    kp_level,
+    *,
+    radius_by_level,
+    max_hamming: int = 50,
+    ratio: float | None = None,
+    level_window: int = 1,
+):
+    """Windowed matching over a PRECOMPUTED distance matrix ``d [L, N]``.
+
+    The [L, N] bit-plane matmul dominates association cost; computing it
+    once per frame and re-masking for each strategy (narrow/wide windows,
+    different poses) replaces three matmuls with one.
+    """
+    d = jnp.where(lm_valid[:, None], d, HAMMING_MASKED)
+    radius = radius_by_level[jnp.clip(pred_level, 0, radius_by_level.shape[0] - 1)]
+    dx = jnp.abs(pred_uv[:, 0:1] - kp_xy[None, :, 0])
+    dy = jnp.abs(pred_uv[:, 1:2] - kp_xy[None, :, 1])
+    in_window = (dx <= radius[:, None]) & (dy <= radius[:, None])
+    in_level = jnp.abs(kp_level[None, :] - pred_level[:, None]) <= level_window
+    d = jnp.where(in_window & in_level, d, HAMMING_MASKED)
+
+    best = jnp.argmin(d, axis=1)
+    best_d = jnp.min(d, axis=1)
+    ok = best_d <= max_hamming
+    if ratio is not None:
+        masked = d.at[jnp.arange(d.shape[0]), best].set(HAMMING_MASKED)
+        second = jnp.min(masked, axis=1)
+        ok = ok & (
+            best_d.astype(jnp.float32) <= ratio * second.astype(jnp.float32)
+        )
+    return jnp.where(ok, best, -1), best_d
+
+
 def match_by_projection(
     pred_uv,
     pred_level,

@@ -123,6 +123,9 @@ class System:
         self._cur_seg_mask = None
         self._last_image = None
         self.next_plane = 0
+        self._ind_cache = None
+        self._init_frame_count = 0
+        self.num_relocalizations = 0
 
         # Publishers (reference: system.h:103-106 getter pair).
         from structure_plp_slam_tpu.publish.frame_publisher import FramePublisher
@@ -156,6 +159,10 @@ class System:
         self._init_feats = None
         self.last_kp_lm = jnp.full((self.frontend.pad_to,), -1, jnp.int32)
         self._frame_stats.clear()
+        self.next_line = 0
+        self.next_plane = 0
+        self._init_frame_count = self.num_frames
+        self._invalidate_map_cache()
 
     # ------------------------------------------------------------------
     # Frame feeding (reference: system::feed_*_frame).
@@ -212,6 +219,7 @@ class System:
             self.last_kp_lm,
             jnp.int32(self.ref_kf),
             self.frontend.inv_sigma_sq,
+            self._obs_indicator(),
             num_levels=self.frontend.extractor.params.num_levels,
             scale_factor=self.frontend.extractor.params.scale_factor,
         )
@@ -228,9 +236,21 @@ class System:
                 self.state, feats, self.frontend.inv_sigma_sq, self._split_key()
             )
             if out is None:
+                # Auto-reset when lost right after initialization — the
+                # young map is junk (reference: tracking_module.cc:506-513,
+                # reset if lost within ~5 s of init).
+                if (
+                    self.enable_mapping
+                    and self.next_kf <= 3
+                    and self.num_frames - self._init_frame_count
+                    < 5.0 * self.camera.fps
+                ):
+                    self.reset()
+                    return None
                 self._record_frame(ts, lost=True)
                 return None
             R_r, t_r, kp_lm_r, ref = out
+            self.num_relocalizations += 1
             self.pose = (R_r, t_r)
             self.vel = (
                 jnp.eye(3, dtype=jnp.float32),
@@ -298,7 +318,8 @@ class System:
             min_obs = 3 if self.next_kf > 2 else 1
             ref_tracked = int(
                 tracker.count_trackable_in_ref(
-                    self.camera, self.state, res.ref_kf, min_obs
+                    self.camera, self.state, res.ref_kf, min_obs,
+                    self._obs_indicator(),
                 )
             )
             lm_headroom = self.next_lm < self.max_landmarks - 2 * self.frontend.pad_to
@@ -345,6 +366,8 @@ class System:
             self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
             self.tracking_state = TrackerState.TRACKING
             self.frames_since_kf = 0
+            self._init_frame_count = self.num_frames
+            self._invalidate_map_cache()
             return True
 
         # Monocular.
@@ -433,6 +456,8 @@ class System:
         self.tracking_state = TrackerState.TRACKING
         self.frames_since_kf = 0
         self._init_feats = None
+        self._init_frame_count = self.num_frames
+        self._invalidate_map_cache()
         return True
 
     # ------------------------------------------------------------------
@@ -536,6 +561,10 @@ class System:
             self.state, _ = mapper.local_ba(
                 self.camera, self.state, slot, self.frontend.inv_sigma_sq
             )
+            if self.with_lines and self.next_line > 0:
+                from structure_plp_slam_tpu.models import line_mapper
+
+                self.state = line_mapper.refresh_lines(self.camera, self.state)
         # Keyframe culling (+ retrieval-index eviction for culled slots).
         if self.next_kf >= 5:
             valid_before = np.asarray(self.state.kf_valid)
@@ -547,6 +576,7 @@ class System:
         # Refresh current-frame associations from the stored keyframe.
         self.last_kp_lm = self.state.kf_lm_idx[slot]
         self.ref_kf = slot
+        self._invalidate_map_cache()
 
         # Stream the updated map to attached viewers.
         self._publish_map_packet()
@@ -573,6 +603,19 @@ class System:
                         jnp.eye(3, dtype=jnp.float32),
                         jnp.zeros((3,), jnp.float32),
                     )
+                    self._invalidate_map_cache()
+
+    # ------------------------------------------------------------------
+    def _obs_indicator(self):
+        """Cached observation indicator [K, L]; invalidated whenever the
+        map's associations change (keyframe insertion, loop correction,
+        reset, load)."""
+        if self._ind_cache is None:
+            self._ind_cache = ms.observation_indicator(self.state)
+        return self._ind_cache
+
+    def _invalidate_map_cache(self):
+        self._ind_cache = None
 
     # ------------------------------------------------------------------
     def _map_scale(self, kf: int) -> float:
@@ -649,7 +692,7 @@ class System:
 
         map_io.save_map(
             path, self.state, next_kf=self.next_kf, next_lm=self.next_lm,
-            camera_name=self.camera.name,
+            camera_name=self.camera.name, camera=self.camera,
         )
 
     def load_map_database(self, path: str):
@@ -665,6 +708,7 @@ class System:
         for k in np.where(kf_valid)[0]:
             self.loop_closer.add_keyframe(self.state, int(k))
         self.tracking_state = TrackerState.LOST
+        self._invalidate_map_cache()
 
     def disable_mapping_module(self):
         self.enable_mapping = False
@@ -750,3 +794,17 @@ class System:
     @property
     def num_landmarks(self) -> int:
         return int(np.asarray(self.state.lm_valid).sum())
+
+    def metrics(self) -> dict:
+        """Observability snapshot (reference: spdlog stats + per-frame
+        timing dumps; SURVEY.md §5)."""
+        return {
+            "frames": self.num_frames,
+            "keyframes": self.num_keyframes,
+            "landmarks": self.num_landmarks,
+            "lines": int(np.asarray(self.state.ln_valid).sum()),
+            "planes": int(np.asarray(self.state.pl_valid).sum()),
+            "loops_closed": self.loop_closer.num_loops_closed,
+            "relocalizations": self.num_relocalizations,
+            "tracking_state": self.tracking_state.value,
+        }
