@@ -126,31 +126,67 @@ def track_frame(
     )
     last_lm_mask = last_lm_mask & state.lm_valid
 
-    # ONE [L, N] descriptor-distance matmul serves every strategy and the
-    # local-map stage — only the geometric masks change between them.
+    # Association backend: on TPU with tile-aligned shapes, the fused
+    # Pallas kernel (ops/pallas_matching.py) computes matmul + window mask
+    # + top-2 in one pass without materializing [L, N] in HBM (~2x faster);
+    # otherwise ONE [L, N] distance matmul is shared across strategies.
+    from structure_plp_slam_tpu.ops import pallas_matching as pm
+
     lm_bits = matching.unpack_desc_bits(state.lm_desc)
-    d_all = matching.distance_matrix_mxu(lm_bits, kp_bits, state.lm_valid, kp_valid)
+    use_pallas = (
+        jax.default_backend() == "tpu" and L % pm.TILE_L == 0
+    )
+    if use_pallas:
+        Np = ((N + pm.TILE_N - 1) // pm.TILE_N) * pm.TILE_N
+        kp_lvl_f = jnp.where(
+            kp_valid, feats["level"].astype(jnp.float32), 1e9
+        )
+        kp_meta = pm.pack_meta_kp(feats["xy"], kp_lvl_f)
+        kp_bits_p = kp_bits
+        if Np != N:
+            kp_meta = jnp.pad(kp_meta, ((0, Np - N), (0, 0)))
+            kp_meta = kp_meta.at[N:, 2].set(1e9)
+            kp_bits_p = jnp.pad(kp_bits, ((0, Np - N), (0, 0)))
+        d_all = None
+    else:
+        d_all = matching.distance_matrix_mxu(
+            lm_bits, kp_bits, state.lm_valid, kp_valid
+        )
 
     def assoc(R, t, lm_mask, radius_table, max_h, ratio):
         uv, pc = _project_landmarks(camera, R, t, state.lm_pos)
         vis, dist = _visibility(
             camera, uv, pc, state.lm_normal, state.lm_dist_min, state.lm_dist_max
         )
-        cand = lm_mask & vis
+        cand = lm_mask & vis & state.lm_valid
         pred_level = matching.predict_scale_level(
             dist, state.lm_dist_max, scale_factor, num_levels
         )
-        kp_best, d_best = matching.match_by_projection_precomputed(
-            d_all,
-            uv,
-            pred_level,
-            cand,
-            feats["xy"],
-            feats["level"],
-            radius_by_level=radius_table,
-            max_hamming=max_h,
-            ratio=ratio,
-        )
+        if use_pallas:
+            radius = radius_table[jnp.clip(pred_level, 0, num_levels - 1)]
+            lm_meta = pm.pack_meta_lm(
+                uv, jnp.where(cand, radius, -1.0), pred_level.astype(jnp.float32)
+            )
+            best_d, second_d, kp_best0 = pm.fused_match(
+                lm_bits, lm_meta, kp_bits_p, kp_meta
+            )
+            ok = best_d <= max_h
+            if ratio is not None:
+                ok = ok & (best_d <= ratio * second_d)
+            kp_best = jnp.where(ok & (kp_best0 < N), kp_best0, -1)
+            d_best = best_d.astype(jnp.int32)
+        else:
+            kp_best, d_best = matching.match_by_projection_precomputed(
+                d_all,
+                uv,
+                pred_level,
+                cand,
+                feats["xy"],
+                feats["level"],
+                radius_by_level=radius_table,
+                max_hamming=max_h,
+                ratio=ratio,
+            )
         return _assoc_to_kp_lm(jnp.arange(L, dtype=jnp.int32), kp_best, d_best, N)
 
     kp_lm_n0 = assoc(R_pred, t_pred, last_lm_mask, radius_table_narrow, 50, None)
@@ -231,12 +267,25 @@ def track_frame(
         dist2, state.lm_dist_max, scale_factor, num_levels
     )
     kp_free = kp_valid & (kp_lm_1 < 0)
-    d_free = jnp.where(kp_free[None, :], d_all, HAMMING_MASKED)
-    kp_best2, d_best2 = matching.match_by_projection_precomputed(
-        d_free, uv2, pred_level2, cand2,
-        feats["xy"], feats["level"],
-        radius_by_level=radius_table_narrow, max_hamming=50, ratio=0.85,
-    )
+    if use_pallas:
+        radius2 = radius_table_narrow[jnp.clip(pred_level2, 0, num_levels - 1)]
+        lm_meta2 = pm.pack_meta_lm(
+            uv2, jnp.where(cand2, radius2, -1.0), pred_level2.astype(jnp.float32)
+        )
+        kp_meta2 = kp_meta.at[:N, 2].set(
+            jnp.where(kp_free, feats["level"].astype(jnp.float32), 1e9)
+        )
+        bd2, sd2, kb2 = pm.fused_match(lm_bits, lm_meta2, kp_bits_p, kp_meta2)
+        ok2 = (bd2 <= 50) & (bd2 <= 0.85 * sd2)
+        kp_best2 = jnp.where(ok2 & (kb2 < N), kb2, -1)
+        d_best2 = bd2.astype(jnp.int32)
+    else:
+        d_free = jnp.where(kp_free[None, :], d_all, HAMMING_MASKED)
+        kp_best2, d_best2 = matching.match_by_projection_precomputed(
+            d_free, uv2, pred_level2, cand2,
+            feats["xy"], feats["level"],
+            radius_by_level=radius_table_narrow, max_hamming=50, ratio=0.85,
+        )
     kp_lm_2 = _assoc_to_kp_lm(jnp.arange(L, dtype=jnp.int32), kp_best2, d_best2, N)
     kp_lm_union = jnp.where(kp_lm_1 >= 0, kp_lm_1, kp_lm_2)
 
