@@ -1,0 +1,262 @@
+"""Full-map global bundle adjustment (pair-based sparse Schur).
+
+TPU-native replacement for optimize/global_bundle_adjuster.cc (the
+whole-map g2o BA run at initialization and after loop closure on its own
+thread). The windowed solver (models/bundle_adjustment.py) materializes a
+dense ``[M, C, 6, 3]`` camera-landmark coupling tensor — fine for local
+windows, impossible at map scale (32k landmarks x 256 keyframes ≈ 4 GB).
+
+This solver exploits BA's true sparsity instead:
+
+  S = Hcc_diag - sum_m W_m Hll_m^-1 W_m^T
+
+couples camera PAIRS that co-observe a landmark. The host enumerates, once
+per call, the observation-pair index lists (o1, o2 observing the same
+landmark); per GN iteration the device then:
+
+  1. computes per-observation Jacobian blocks (batched over all O obs);
+  2. forms per-observation U_o = Jc_o^T w_o Jl_o  [6, 3];
+  3. scatter-adds  -U_{o1} Hll_m^-1 U_{o2}^T  over the pair list into the
+     block camera system S [K, K, 6, 6] (one [P, 6, 6] einsum + scatter);
+  4. Cholesky-solves the dense reduced system (6K x 6K — at K = 256 that
+     is a 1536^2 factorization, trivial on the MXU);
+  5. back-substitutes landmarks locally.
+
+HBM cost is O(O + P) with P = sum_m |obs(m)|^2 — the natural sparse-Schur
+fill, not the dense cross product.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structure_plp_slam_tpu.data import map_state as ms
+from structure_plp_slam_tpu.ops import lie, robust
+
+
+class GlobalBAData(NamedTuple):
+    """Host-prepared index structure for one global BA run."""
+
+    obs_cam: jax.Array       # [O] i32 keyframe slot per observation
+    obs_lm: jax.Array        # [O] i32 landmark slot
+    obs_uv: jax.Array        # [O, 2]
+    obs_xr: jax.Array        # [O]
+    obs_info: jax.Array      # [O]
+    pair_o1: jax.Array       # [P] i32 observation index
+    pair_o2: jax.Array       # [P] i32 observation index (same landmark)
+    num_obs: int
+    num_pairs: int
+
+
+def prepare(state: ms.MapState, inv_sigma_sq_table: np.ndarray,
+            max_obs_per_lm: int = 12) -> GlobalBAData:
+    """Enumerate observations + co-observation pairs (host, numpy).
+
+    ``max_obs_per_lm`` caps the pair blow-up per landmark (the strongest
+    ``max_obs_per_lm`` observations are kept for the reduced system; all
+    observations still contribute to Hcc/Hll/b).
+    """
+    kf_valid = np.asarray(state.kf_valid)
+    kp_valid = np.asarray(state.kf_kp_valid)
+    lm_idx = np.asarray(state.kf_lm_idx)
+    lm_valid = np.asarray(state.lm_valid)
+    xy = np.asarray(state.kf_xy)
+    xr = np.asarray(state.kf_xr)
+    level = np.asarray(state.kf_level)
+    table = np.asarray(inv_sigma_sq_table)
+
+    ks, ns = np.nonzero((lm_idx >= 0) & kp_valid & kf_valid[:, None])
+    lms = lm_idx[ks, ns]
+    keep = lm_valid[lms]
+    ks, ns, lms = ks[keep], ns[keep], lms[keep]
+    O = len(ks)
+
+    obs_uv = xy[ks, ns]
+    obs_xr = xr[ks, ns]
+    obs_info = table[np.clip(level[ks, ns], 0, len(table) - 1)]
+
+    # Pair enumeration grouped by landmark.
+    order = np.argsort(lms, kind="stable")
+    lms_s = lms[order]
+    starts = np.searchsorted(lms_s, np.unique(lms_s))
+    ends = np.append(starts[1:], O)
+    p1, p2 = [], []
+    for s, e in zip(starts, ends):
+        group = order[s:e][:max_obs_per_lm]
+        g = len(group)
+        if g < 1:
+            continue
+        ii, jj = np.meshgrid(group, group, indexing="ij")
+        p1.append(ii.ravel())
+        p2.append(jj.ravel())
+    pair_o1 = np.concatenate(p1) if p1 else np.zeros(0, np.int64)
+    pair_o2 = np.concatenate(p2) if p2 else np.zeros(0, np.int64)
+
+    return GlobalBAData(
+        obs_cam=jnp.asarray(ks, jnp.int32),
+        obs_lm=jnp.asarray(lms, jnp.int32),
+        obs_uv=jnp.asarray(obs_uv, jnp.float32),
+        obs_xr=jnp.asarray(obs_xr, jnp.float32),
+        obs_info=jnp.asarray(obs_info, jnp.float32),
+        pair_o1=jnp.asarray(pair_o1, jnp.int32),
+        pair_o2=jnp.asarray(pair_o2, jnp.int32),
+        num_obs=O,
+        num_pairs=len(pair_o1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "num_iters"))
+def solve(camera, cam_pose0, cam_valid, cam_fixed, lm_pos0, lm_valid,
+          data: GlobalBAData, *, num_iters: int = 10, damping: float = 1e-4):
+    """Run global BA. Returns (cam_pose [K,3,4], lm_pos [L,3])."""
+    K = cam_pose0.shape[0]
+    L = lm_pos0.shape[0]
+    has_stereo = data.obs_xr >= 0.0
+
+    def iteration(carry, _):
+        cam_pose, lm_pos = carry
+        R = cam_pose[data.obs_cam, :, :3]
+        t = cam_pose[data.obs_cam, :, 3]
+        X = lm_pos[data.obs_lm]
+        pc = jnp.einsum("oij,oj->oi", R, X) + t
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        u = camera.fx * pc[:, 0] / z + camera.cx
+        v = camera.fy * pc[:, 1] / z + camera.cy
+        r_uv = jnp.stack([u, v], -1) - data.obs_uv
+        r_xr = (u - camera.focal_x_baseline / z) - data.obs_xr
+        chi2 = jnp.sum(r_uv * r_uv, -1) * data.obs_info + jnp.where(
+            has_stereo, r_xr * r_xr * data.obs_info, 0.0
+        )
+        delta_sq = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
+        w = jnp.where(
+            pc[:, 2] > 1e-6,
+            robust.huber_weight(chi2, delta_sq) * data.obs_info,
+            0.0,
+        )
+
+        iz = 1.0 / z
+        iz2 = iz * iz
+        fx, fy, fxb = camera.fx, camera.fy, camera.focal_x_baseline
+        zero = jnp.zeros_like(z)
+        J_uv_pc = jnp.stack(
+            [
+                jnp.stack([fx * iz, zero, -fx * pc[:, 0] * iz2], -1),
+                jnp.stack([zero, fy * iz, -fy * pc[:, 1] * iz2], -1),
+            ],
+            axis=-2,
+        )
+        J_xr_pc = jnp.stack([fx * iz, zero, -fx * pc[:, 0] * iz2 + fxb * iz2], -1)
+        dpc = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3)),
+                -lie.hat(pc),
+            ],
+            axis=-1,
+        )
+        Jc2 = J_uv_pc @ dpc
+        Jl2 = J_uv_pc @ R
+        Jc3 = (J_xr_pc[:, None, :] @ dpc)[:, 0]
+        Jl3 = (J_xr_pc[:, None, :] @ R)[:, 0]
+        w_st = jnp.where(has_stereo, w, 0.0)
+
+        Hcc_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jc2) + \
+            jnp.einsum("oi,oj->oij", Jc3 * w_st[:, None], Jc3)
+        Hll_o = jnp.einsum("ori,orj->oij", Jl2 * w[:, None, None], Jl2) + \
+            jnp.einsum("oi,oj->oij", Jl3 * w_st[:, None], Jl3)
+        U_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jl2) + \
+            jnp.einsum("oi,oj->oij", Jc3 * w_st[:, None], Jl3)  # [O, 6, 3]
+        bc_o = -(jnp.einsum("ori,or->oi", Jc2 * w[:, None, None], r_uv)
+                 + Jc3 * (w_st * r_xr)[:, None])
+        bl_o = -(jnp.einsum("ori,or->oi", Jl2 * w[:, None, None], r_uv)
+                 + Jl3 * (w_st * r_xr)[:, None])
+
+        Hcc = jnp.zeros((K, 6, 6), jnp.float32).at[data.obs_cam].add(Hcc_o)
+        bc = jnp.zeros((K, 6), jnp.float32).at[data.obs_cam].add(bc_o)
+        Hll = jnp.zeros((L, 3, 3), jnp.float32).at[data.obs_lm].add(Hll_o)
+        bl = jnp.zeros((L, 3), jnp.float32).at[data.obs_lm].add(bl_o)
+
+        lam_l = damping * jnp.maximum(
+            jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+        )
+        Hll_inv = jnp.linalg.inv(Hll + lam_l * jnp.eye(3)[None])
+
+        # --- pair-based Schur reduction --------------------------------
+        lm_p = data.obs_lm[data.pair_o1]
+        U1 = U_o[data.pair_o1]                     # [P, 6, 3]
+        U2 = U_o[data.pair_o2]
+        Hinv_p = Hll_inv[lm_p]                     # [P, 3, 3]
+        S_pair = -jnp.einsum("pij,pjk,plk->pil", U1, Hinv_p, U2)  # [P, 6, 6]
+        c1 = data.obs_cam[data.pair_o1]
+        c2 = data.obs_cam[data.pair_o2]
+        S = jnp.zeros((K, K, 6, 6), jnp.float32).at[c1, c2].add(S_pair)
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
+
+        # rhs = bc - sum_m W_m Hll_m^-1 bl_m (per observation).
+        rhs_o = jnp.einsum(
+            "oij,oj->oi", jnp.einsum("oij,ojk->oik", U_o, Hll_inv[data.obs_lm]),
+            bl[data.obs_lm],
+        )
+        rhs = bc - jnp.zeros((K, 6), jnp.float32).at[data.obs_cam].add(rhs_o)
+
+        free = (~cam_fixed) & cam_valid
+        free_f = free.astype(jnp.float32)
+        S = S * free_f[:, None, None, None] * free_f[None, :, None, None]
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(
+            jnp.where(free[:, None, None], 0.0, 1.0) * jnp.eye(6)[None]
+        )
+        diag_scale = damping * jnp.maximum(
+            jnp.trace(S[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1) / 6.0,
+            1e-6,
+        )
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(
+            diag_scale[:, None, None] * jnp.eye(6)[None]
+        )
+        rhs = rhs * free_f[:, None]
+
+        S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        Lc, low = jax.scipy.linalg.cho_factor(S_dense, lower=True)
+        dx_c = jax.scipy.linalg.cho_solve((Lc, low), rhs.reshape(-1)).reshape(K, 6)
+
+        # Back-substitute: dX_m = Hll_m^-1 (bl_m - sum_o U_o^T dx_{c(o)}).
+        Ut_dxc_o = jnp.einsum("oij,oi->oj", U_o, dx_c[data.obs_cam])  # [O, 3]
+        Ut_dxc = jnp.zeros((L, 3), jnp.float32).at[data.obs_lm].add(Ut_dxc_o)
+        dx_l = jnp.einsum("lij,lj->li", Hll_inv, bl - Ut_dxc)
+
+        ok = jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dx_l))
+        dx_c = jnp.where(ok, lie.clamp_tangent(dx_c, 0.3, 5.0), 0.0)
+        dx_l = jnp.where(ok, jnp.clip(dx_l, -5.0, 5.0), 0.0)
+
+        R_new, t_new = lie.se3_update(cam_pose[:, :, :3], cam_pose[:, :, 3], dx_c)
+        cam_new = jnp.where(free[:, None, None], lie.pack_pose(R_new, t_new), cam_pose)
+        lm_new = jnp.where(lm_valid[:, None], lm_pos + dx_l, lm_pos)
+        return (cam_new, lm_new), None
+
+    (cam_pose, lm_pos), _ = jax.lax.scan(
+        iteration, (cam_pose0, lm_pos0), None, length=num_iters
+    )
+    cam_pose = lie.pack_pose(
+        lie.orthonormalize(cam_pose[:, :, :3]), cam_pose[:, :, 3]
+    )
+    free_out = (~cam_fixed) & cam_valid
+    cam_pose = jnp.where(free_out[:, None, None], cam_pose, cam_pose0)
+    return cam_pose, lm_pos
+
+
+def run_global_ba(camera, state: ms.MapState, inv_sigma_sq_table,
+                  anchor_kf: int = 0, num_iters: int = 10):
+    """Host wrapper: prepare index lists + solve + write back."""
+    data = prepare(state, np.asarray(inv_sigma_sq_table))
+    if data.num_obs < 100:
+        return state
+    K = state.kf_pose.shape[0]
+    cam_fixed = jnp.asarray(np.arange(K) == anchor_kf)
+    cam_pose, lm_pos = solve(
+        camera, state.kf_pose, state.kf_valid, cam_fixed,
+        state.lm_pos, state.lm_valid, data, num_iters=num_iters,
+    )
+    return state._replace(kf_pose=cam_pose, lm_pos=lm_pos)

@@ -231,11 +231,15 @@ class LoopCloser:
         self._continuity.clear()
         self.num_loops_closed += 1
 
-        # Wide local BA around the loop keyframe (stand-in for the
-        # reference's full loop BA thread).
-        state, _ = mapper.local_ba(
-            self.camera, state, kf_cur, inv_sigma_sq_table,
-            max_opt=16, max_fix=16, max_lms=4096,
+        # Full-map global BA after the pose graph (reference: the loop BA
+        # thread runs global_bundle_adjuster over the whole map,
+        # loop_bundle_adjuster.cc:81-82). Pair-based sparse Schur scales to
+        # the full keyframe/landmark set.
+        from structure_plp_slam_tpu.models import global_ba
+
+        state = global_ba.run_global_ba(
+            self.camera, state, np.asarray(inv_sigma_sq_table),
+            anchor_kf=kf_cand,
         )
         return state
 
