@@ -8,8 +8,11 @@ natural BA sparsity:
   each device owns a disjoint set of landmarks and ALL observations of
   those landmarks (observations are partitioned by landmark id);
 * the reduced camera system S = Hcc - sum_m W_m Hll_m^-1 W_m^T is formed
-  locally per shard and summed with ONE ``psum`` per iteration (the only
-  collective — it rides ICI);
+  locally per shard by PAIR-BASED sparse assembly (co-observation pairs of
+  a landmark scatter -U1 Hll^-1 U2^T blocks; a landmark's pairs never
+  cross shards, so the partition is exact with no halo exchange) and
+  summed with ONE ``psum`` per iteration (the only collective — it rides
+  ICI);
 * every device solves the small replicated camera system redundantly
   (C <= dozens; cheaper than sharding a 6C x 6C Cholesky) and
   back-substitutes its own landmarks locally.
@@ -48,6 +51,9 @@ class ShardedBAProblem(NamedTuple):
     obs_xr: jax.Array
     obs_inv_sigma_sq: jax.Array
     obs_valid: jax.Array
+    pair_o1: jax.Array       # [n_shards * P_shard] LOCAL observation index
+    pair_o2: jax.Array
+    pair_valid: jax.Array
 
 
 def shard_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
@@ -102,6 +108,38 @@ def shard_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
         s_info[sh, i] = oinfo[o]
         s_valid[sh, i] = oval[o]
 
+    # Co-observation pairs for the sparse-Schur reduction. Both members of
+    # a pair observe the same landmark, and a landmark's observations all
+    # live on its owner shard — so pairs NEVER cross shards (the partition
+    # is exact, no halo exchange needed).
+    pair1 = [[] for _ in range(n_shards)]
+    pair2 = [[] for _ in range(n_shards)]
+    for sh in range(n_shards):
+        lml = s_lm[sh][: cursor[sh]]
+        order = np.argsort(lml, kind="stable")
+        lml_s = lml[order]
+        starts = np.searchsorted(lml_s, np.unique(lml_s))
+        ends = np.append(starts[1:], len(lml))
+        for st_, en_ in zip(starts, ends):
+            grp = order[st_:en_]
+            ii, jj = np.meshgrid(grp, grp, indexing="ij")
+            pair1[sh].append(ii.ravel())
+            pair2[sh].append(jj.ravel())
+    counts_p = [
+        int(sum(len(a) for a in pair1[sh])) for sh in range(n_shards)
+    ]
+    P_shard = max(1, max(counts_p))
+    s_p1 = np.zeros((n_shards, P_shard), np.int32)
+    s_p2 = np.zeros((n_shards, P_shard), np.int32)
+    s_pv = np.zeros((n_shards, P_shard), bool)
+    for sh in range(n_shards):
+        if counts_p[sh]:
+            p1c = np.concatenate(pair1[sh]).astype(np.int32)
+            p2c = np.concatenate(pair2[sh]).astype(np.int32)
+            s_p1[sh, : len(p1c)] = p1c
+            s_p2[sh, : len(p2c)] = p2c
+            s_pv[sh, : len(p1c)] = True
+
     return ShardedBAProblem(
         cam_pose=prob.cam_pose,
         cam_fixed=prob.cam_fixed,
@@ -114,6 +152,9 @@ def shard_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
         obs_xr=jnp.asarray(s_xr.reshape(-1)),
         obs_inv_sigma_sq=jnp.asarray(s_info.reshape(-1)),
         obs_valid=jnp.asarray(s_valid.reshape(-1)),
+        pair_o1=jnp.asarray(s_p1.reshape(-1)),
+        pair_o2=jnp.asarray(s_p2.reshape(-1)),
+        pair_valid=jnp.asarray(s_pv.reshape(-1)),
     )
 
 
@@ -127,7 +168,8 @@ def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
     axis = "lm"
 
     def shard_body(cam_pose0, cam_fixed, cam_valid, lm_pos0, lm_valid,
-                   obs_cam, obs_lm, obs_uv, obs_xr, obs_info, obs_valid):
+                   obs_cam, obs_lm, obs_uv, obs_xr, obs_info, obs_valid,
+                   pair_o1, pair_o2, pair_valid):
         C = cam_pose0.shape[0]
         M = lm_pos0.shape[0]  # local shard size
         has_stereo = obs_xr >= 0.0
@@ -198,19 +240,29 @@ def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
             bc = jnp.zeros((C, 6), jnp.float32).at[obs_cam].add(bc_o)
             Hll = jnp.zeros((M, 3, 3), jnp.float32).at[obs_lm].add(Hll_o)
             bl = jnp.zeros((M, 3), jnp.float32).at[obs_lm].add(bl_o)
-            W = jnp.zeros((M, C, 6, 3), jnp.float32).at[obs_lm, obs_cam].add(
-                Hcl_o
-            )
-
             lam_l = damping * jnp.maximum(
                 jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
             )
             Hll_inv = jnp.linalg.inv(
                 Hll + lam_l * jnp.eye(3, dtype=jnp.float32)[None]
             )
-            WHinv = jnp.einsum("mcij,mjk->mcik", W, Hll_inv)
-            S_red_local = jnp.einsum("mcik,mdjk->cdij", WHinv, W)
-            rhs_local = bc - jnp.einsum("mcik,mk->ci", WHinv, bl)
+            # Pair-based sparse Schur (no dense [M, C, 6, 3] coupling): a
+            # pair of observations of the same (shard-local) landmark
+            # contributes -U1 Hll^-1 U2^T to the (cam1, cam2) block.
+            U1 = Hcl_o[pair_o1]                        # [P, 6, 3]
+            U2 = Hcl_o[pair_o2]
+            Hinv_p = Hll_inv[obs_lm[pair_o1]]          # [P, 3, 3]
+            S_pair = jnp.einsum("pij,pjk,plk->pil", U1, Hinv_p, U2)
+            S_pair = jnp.where(pair_valid[:, None, None], S_pair, 0.0)
+            S_red_local = jnp.zeros((C, C, 6, 6), jnp.float32).at[
+                obs_cam[pair_o1], obs_cam[pair_o2]
+            ].add(S_pair)
+            rhs_o = jnp.einsum(
+                "oij,ojk,ok->oi", Hcl_o, Hll_inv[obs_lm], bl[obs_lm]
+            )
+            rhs_local = bc - jnp.zeros((C, 6), jnp.float32).at[obs_cam].add(
+                rhs_o
+            )
 
             # THE collective: reduce the camera system across landmark shards.
             Hcc_g = jax.lax.psum(Hcc, axis)
@@ -241,8 +293,9 @@ def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
             Lc, low = jax.scipy.linalg.cho_factor(S_dense, lower=True)
             dx_c = jax.scipy.linalg.cho_solve((Lc, low), rhs_dense).reshape(C, 6)
 
-            Wt_dxc = jnp.einsum("mcij,ci->mj", W, dx_c)
-            dx_l = jnp.einsum("mij,mj->mi", Hll_inv, bl - Wt_dxc)
+            Ut_dxc_o = jnp.einsum("oij,oi->oj", Hcl_o, dx_c[obs_cam])
+            Ut_dxc = jnp.zeros((M, 3), jnp.float32).at[obs_lm].add(Ut_dxc_o)
+            dx_l = jnp.einsum("mij,mj->mi", Hll_inv, bl - Ut_dxc)
 
             ok = jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dx_l))
             dx_c = jnp.where(ok, lie.clamp_tangent(dx_c, 0.3, 5.0), 0.0)
@@ -273,7 +326,8 @@ def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
             mesh=mesh,
             in_specs=(rep, rep, rep, lm_sharded, lm_sharded,
                       lm_sharded, lm_sharded, lm_sharded, lm_sharded,
-                      lm_sharded, lm_sharded),
+                      lm_sharded, lm_sharded, lm_sharded, lm_sharded,
+                      lm_sharded),
             out_specs=(rep, lm_sharded),
             check_vma=False,
         )
@@ -283,7 +337,7 @@ def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
         return fn(
             sp.cam_pose, sp.cam_fixed, sp.cam_valid, sp.lm_pos, sp.lm_valid,
             sp.obs_cam, sp.obs_lm, sp.obs_uv, sp.obs_xr, sp.obs_inv_sigma_sq,
-            sp.obs_valid,
+            sp.obs_valid, sp.pair_o1, sp.pair_o2, sp.pair_valid,
         )
 
     return run
