@@ -132,6 +132,62 @@ def load_image_dir(img_dir: str, fps: float = 30.0,
     return out
 
 
+class PrefetchReader:
+    """Background-thread frame decoder (double-ended prefetch queue).
+
+    The reference decodes images on the feed thread; at TPU tracking rates
+    the decode becomes the bottleneck, so the CLI reads ahead on worker
+    threads (cv2 releases the GIL during imdecode).
+    """
+
+    def __init__(self, records, *, depth: bool = False, stereo: bool = False,
+                 workers: int = 2, depth_factor: float = 1.0):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=workers * 4)
+        self._records = records
+        self._depth = depth
+        self._stereo = stereo
+        self._stop = False
+
+        def producer():
+            for rec in records:
+                if self._stop:
+                    break
+                img = imread_gray(rec.img_path)
+                d = (
+                    imread_depth(rec.depth_path)
+                    if depth and rec.depth_path
+                    else None
+                )
+                r = (
+                    imread_gray(rec.right_img_path)
+                    if stereo and rec.right_img_path
+                    else None
+                )
+                m = (
+                    imread_depth(rec.mask_path).astype(np.int32)
+                    if rec.mask_path
+                    else None
+                )
+                self._q.put((rec, img, d, r, m))
+            self._q.put(None)
+
+        self._t = threading.Thread(target=producer, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item
+
+    def close(self):
+        self._stop = True
+
+
 def imread_gray(path: str) -> np.ndarray:
     """uint8 grayscale image loader (OpenCV with PIL fallback)."""
     try:

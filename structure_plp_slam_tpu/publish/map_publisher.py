@@ -62,6 +62,13 @@ class MapPublisher:
         return np.asarray(st.pl_coef)[valid]
 
     # -- export --------------------------------------------------------
+    def export_html(self, path: str, max_points: int = 20000):
+        """Interactive single-file HTML map viewer (publish/html_viewer.py —
+        the static equivalent of the reference's web viewer)."""
+        from structure_plp_slam_tpu.publish.html_viewer import export_html
+
+        export_html(path, self, max_points=max_points)
+
     def export_ply(self, path: str, with_trajectory: bool = True):
         """Write landmarks (+ keyframe centers) as an ASCII PLY cloud."""
         pts = self.get_landmarks()

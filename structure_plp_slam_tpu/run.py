@@ -80,17 +80,16 @@ def main(argv=None):
     else:
         slam.startup()
     track_times = []
-    for rec in frames:
-        img = datasets.imread_gray(rec.img_path)
-        mask = None
-        if rec.mask_path:
-            mask = datasets.imread_depth(rec.mask_path).astype("int32")
+    reader = datasets.PrefetchReader(
+        frames,
+        depth=cfg.camera.setup is CameraSetup.RGBD,
+        stereo=any(r.right_img_path for r in frames[:1]),
+    )
+    for rec, img, depth, right, mask in reader:
         t0 = time.perf_counter()
-        if cfg.camera.setup is CameraSetup.RGBD and rec.depth_path:
-            depth = datasets.imread_depth(rec.depth_path)
+        if cfg.camera.setup is CameraSetup.RGBD and depth is not None:
             slam.feed_RGBD_frame(img, depth, rec.timestamp, seg_mask=mask)
-        elif rec.right_img_path:
-            right = datasets.imread_gray(rec.right_img_path)
+        elif right is not None:
             slam.feed_stereo_frame(img, right, rec.timestamp, seg_mask=mask)
         else:
             slam.feed_monocular_frame(img, rec.timestamp, seg_mask=mask)

@@ -578,8 +578,9 @@ class System:
         self.ref_kf = slot
         self._invalidate_map_cache()
 
-        # Stream the updated map to attached viewers.
+        # Stream the updated map to attached viewers; maybe checkpoint.
         self._publish_map_packet()
+        self._maybe_autosave()
 
         # Loop closing (reference: the keyframe flows to the
         # global-optimization thread's queue, mapping_module.cc:150).
@@ -721,6 +722,27 @@ class System:
 
     def enable_loop_detector(self):
         self.enable_loop_closing = True
+
+    def enable_autosave(self, path: str, every_n_keyframes: int = 10):
+        """Periodic non-blocking map checkpoints through the native
+        double-buffered writer (checkpoint/resume without pausing tracking
+        — the reference must pause both threads to snapshot,
+        system.cc:246-260)."""
+        from structure_plp_slam_tpu import native
+
+        self._autosave = native.AsyncSnapshotWriter(path)
+        self._autosave_every = every_n_keyframes
+
+    def _maybe_autosave(self):
+        w = getattr(self, "_autosave", None)
+        if w is None or self.next_kf % self._autosave_every != 0:
+            return
+        from structure_plp_slam_tpu.io import map_io
+
+        map_io.save_map_async(
+            w, self.state, next_kf=self.next_kf, next_lm=self.next_lm,
+            camera_name=self.camera.name, camera=self.camera,
+        )
 
     def start_native_publisher(self, port: int = 0) -> int:
         """Start the native TCP map publisher (reference: socket_publisher

@@ -89,6 +89,57 @@ def render(camera, tex, R_cw, t_cw, plane_half: float = PLANE_HALF):
     return img, depth
 
 
+def render_fisheye(camera, tex, R_cw, t_cw, plane_half: float = PLANE_HALF):
+    """Render through a Kannala-Brandt fisheye camera (distorted image +
+    depth). Per-pixel rays come from the camera model's own undistortion,
+    so the image is consistent with what the frontend will undo."""
+    import jax.numpy as jnp
+
+    from structure_plp_slam_tpu.camera import fisheye as fe
+
+    H, W = camera.rows, camera.cols
+    ys, xs = np.mgrid[0:H, 0:W]
+    pix = np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float32)
+    und = np.array(fe.undistort_keypoints(camera, jnp.asarray(pix)))
+    d = np.stack(
+        [
+            (und[:, 0] - camera.cx) / camera.fx,
+            (und[:, 1] - camera.cy) / camera.fy,
+            np.ones(len(und)),
+        ],
+        -1,
+    ).reshape(H, W, 3)
+    R_wc = R_cw.T
+    C = -R_cw.T @ t_cw
+    dw = d @ R_wc.T
+    denom = np.where(np.abs(dw[..., 2]) < 1e-9, 1e-9, dw[..., 2])
+    size = tex.shape[0]
+    lam_bg = (PLANE_Z - C[2]) / denom
+    pw_bg = C + lam_bg[..., None] * dw
+    lam_fg = (FG_Z - C[2]) / denom
+    pw_fg = C + lam_fg[..., None] * dw
+    fg_mask = (
+        (lam_fg > 0)
+        & (pw_fg[..., 0] >= FG_X[0]) & (pw_fg[..., 0] <= FG_X[1])
+        & (pw_fg[..., 1] >= FG_Y[0]) & (pw_fg[..., 1] <= FG_Y[1])
+    )
+    pw = np.where(fg_mask[..., None], pw_fg, pw_bg)
+
+    def sample(p, half, offset):
+        u = (p[..., 0] + half) / (2 * half) * (size - 1)
+        v = (p[..., 1] + half) / (2 * half) * (size - 1)
+        ui = np.clip((u + offset).astype(int), 0, size - 1)
+        vi = np.clip(v.astype(int), 0, size - 1)
+        return tex[vi, ui]
+
+    img = np.where(
+        fg_mask, sample(pw_fg, 2.0, size // 3), sample(pw_bg, plane_half, 0)
+    ).astype(np.float32)
+    pc = (pw - C) @ R_cw.T
+    depth = pc[..., 2].astype(np.float32)
+    return img, depth
+
+
 def trajectory(num_frames, step=0.06, rot=0.004):
     """A gentle arc: translate along +x with slight yaw."""
     poses = []
