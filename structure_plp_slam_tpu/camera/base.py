@@ -72,6 +72,18 @@ class Camera:
         return 1.0 / self.fy if self.fy else 0.0
 
     @property
+    def focal_like(self) -> float:
+        """Pixels-per-radian scale for pixel-threshold conversions.
+
+        fx for pinhole-style models; cols/(2*pi) for equirectangular (its
+        horizontal pixel pitch in radians)."""
+        if self.fx:
+            return self.fx
+        import math
+
+        return self.cols / (2.0 * math.pi)
+
+    @property
     def has_distortion(self) -> bool:
         return any(abs(v) > 0 for v in (self.k1, self.k2, self.p1, self.p2, self.k3, self.k4))
 
@@ -138,3 +150,37 @@ def bearings(camera: Camera, undist_keypts):
 
 def project(camera: Camera, points_cam):
     return dispatch(camera).project(camera, points_cam)
+
+
+def project_jacobian(camera: Camera, points_cam):
+    """d(uv)/d(pc) ``[..., 2, 3]`` for camera-space points (model dispatch)."""
+    return dispatch(camera).project_jacobian(camera, points_cam)
+
+
+def in_image(camera: Camera, uv, margin: float = 0.0):
+    return dispatch(camera).in_image(camera, uv, margin)
+
+
+def uv_residual(camera: Camera, uv_pred, uv_obs):
+    """Reprojection residual ``uv_pred - uv_obs`` with horizontal
+    wrap-around for equirectangular images (u and u + cols are the same
+    pixel; the reference never needs this because its per-keypoint loops
+    re-project into [0, cols) — batched residuals must wrap instead)."""
+    import jax.numpy as jnp
+
+    d = uv_pred - uv_obs
+    if camera.model is CameraModel.EQUIRECTANGULAR:
+        du = d[..., 0]
+        du = du - jnp.round(du / camera.cols) * camera.cols
+        d = jnp.stack([du, d[..., 1]], axis=-1)
+    return d
+
+
+def cheirality(camera: Camera, points_cam):
+    """Observability gate: positive depth for pinhole-style models; any
+    direction for the full-sphere equirectangular model."""
+    import jax.numpy as jnp
+
+    if camera.model is CameraModel.EQUIRECTANGULAR:
+        return jnp.sum(points_cam * points_cam, axis=-1) > 1e-12
+    return points_cam[..., 2] > 1e-6

@@ -37,5 +37,31 @@ def project(camera, points_cam):
     return jnp.stack([u, v], axis=-1), norm
 
 
+def project_jacobian(camera, points_cam):
+    """d(uv)/d(pc) of the lat/long projection ``[..., 2, 3]``.
+
+    Reference: the analytic linearization of the equirectangular
+    reprojection edge (src/PLPSLAM/optimize/g2o/se3/
+    equirectangular_reproj_edge.h linearizeOplus). With
+    u = cols*(0.5 + atan2(x, z)/2pi), v = rows*(0.5 + asin(y/d)/pi),
+    d = |pc|:
+      du/dpc = cols/(2pi) * [z, 0, -x] / (x^2 + z^2)
+      dv/dpc = rows/pi    * (e_y - (y/d^2) pc) / sqrt(x^2 + z^2)
+    Degenerate at the poles (x = z = 0) — clamped; such observations carry
+    ~zero weight anyway because the projection saturates there.
+    """
+    x, y, z = points_cam[..., 0], points_cam[..., 1], points_cam[..., 2]
+    r2 = jnp.maximum(x * x + z * z, 1e-12)
+    d2 = jnp.maximum(x * x + y * y + z * z, 1e-12)
+    ku = camera.cols / (2.0 * jnp.pi)
+    zero = jnp.zeros_like(z)
+    row_u = jnp.stack([ku * z / r2, zero, -ku * x / r2], axis=-1)
+    kv = camera.rows / jnp.pi / jnp.sqrt(r2)
+    row_v = jnp.stack(
+        [-kv * x * y / d2, kv * (1.0 - y * y / d2), -kv * z * y / d2], axis=-1
+    )
+    return jnp.stack([row_u, row_v], axis=-2)
+
+
 def in_image(camera, uv, margin: float = 0.0):
     return (uv[..., 1] >= margin) & (uv[..., 1] < camera.rows - margin)

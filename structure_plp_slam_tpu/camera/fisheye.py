@@ -71,6 +71,13 @@ def project(camera, points_cam):
     return jnp.stack([u, v], axis=-1), z
 
 
+def project_jacobian(camera, points_cam):
+    """Pinhole Jacobian: all residuals live in undistorted pixel space."""
+    from structure_plp_slam_tpu.camera import perspective
+
+    return perspective.project_jacobian(camera, points_cam)
+
+
 def in_image(camera, uv, margin: float = 0.0):
     return (
         (uv[..., 0] >= margin)

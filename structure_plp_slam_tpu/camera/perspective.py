@@ -89,6 +89,23 @@ def project(camera, points_cam):
     return jnp.stack([u, v], axis=-1), z
 
 
+def project_jacobian(camera, points_cam):
+    """d(uv)/d(pc) for the distortion-free pinhole projection ``[..., 2, 3]``.
+
+    Reference: the analytic linearization inside the g2o reprojection edges
+    (src/PLPSLAM/optimize/g2o/se3/perspective_reproj_edge.h
+    linearizeOplus) — here batched over all observations at once.
+    """
+    x, y, z = points_cam[..., 0], points_cam[..., 1], points_cam[..., 2]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    zero = jnp.zeros_like(z)
+    row_u = jnp.stack([camera.fx * iz, zero, -camera.fx * x * iz2], axis=-1)
+    row_v = jnp.stack([zero, camera.fy * iz, -camera.fy * y * iz2], axis=-1)
+    return jnp.stack([row_u, row_v], axis=-2)
+
+
 def reproject_stereo(camera, points_cam):
     """Also return the right-image x coordinate (stereo residual term).
 

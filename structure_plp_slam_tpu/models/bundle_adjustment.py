@@ -34,6 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from structure_plp_slam_tpu.camera import base as cam_base
 from structure_plp_slam_tpu.ops import lie, robust
 
 
@@ -66,11 +67,10 @@ def _project_residuals(camera, cam_pose, lm_pos, prob: BAProblem):
     t = cam_pose[prob.obs_cam, :, 3]
     X = lm_pos[prob.obs_lm]
     pc = jnp.einsum("oij,oj->oi", R, X) + t
+    uv, _ = cam_base.project(camera, pc)
+    r_uv = cam_base.uv_residual(camera, uv, prob.obs_uv)
     z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
-    u = camera.fx * pc[:, 0] / z + camera.cx
-    v = camera.fy * pc[:, 1] / z + camera.cy
-    r_uv = jnp.stack([u, v], axis=-1) - prob.obs_uv
-    r_xr = (u - camera.focal_x_baseline / z) - prob.obs_xr
+    r_xr = (uv[..., 0] - camera.focal_x_baseline / z) - prob.obs_xr
     return pc, r_uv, r_xr
 
 
@@ -117,22 +117,16 @@ def ba_solve(
             0.0,
         )
         # Behind-camera observations contribute nothing this iteration.
-        w = jnp.where(pc[:, 2] > 1e-6, w, 0.0)
+        w = jnp.where(cam_base.cheirality(camera, pc), w, 0.0)
 
-        # --- Jacobians -------------------------------------------------
-        x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+        # --- Jacobians (model-dispatched) --------------------------------
+        x, z = pc[:, 0], pc[:, 2]
         z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
         iz = 1.0 / z
         iz2 = iz * iz
-        fx, fy, fxb = camera.fx, camera.fy, camera.focal_x_baseline
+        fx, fxb = camera.fx, camera.focal_x_baseline
         zero = jnp.zeros_like(z)
-        J_uv_pc = jnp.stack(
-            [
-                jnp.stack([fx * iz, zero, -fx * x * iz2], -1),
-                jnp.stack([zero, fy * iz, -fy * y * iz2], -1),
-            ],
-            axis=-2,
-        )  # [O, 2, 3]
+        J_uv_pc = cam_base.project_jacobian(camera, pc)  # [O, 2, 3]
         J_xr_pc = jnp.stack([fx * iz, zero, -fx * x * iz2 + fxb * iz2], -1)  # [O,3]
 
         R = cam_pose[prob.obs_cam, :, :3]

@@ -29,6 +29,7 @@ class MonoInitResult(NamedTuple):
     point_ok: jax.Array      # [N] bool
     num_points: jax.Array    # i32
     used_homography: jax.Array  # bool
+    num_matches: jax.Array   # i32 raw area matches (restart-decision input)
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "min_triangulated"))
@@ -48,12 +49,14 @@ def try_initialize_mono(
     """
     from structure_plp_slam_tpu.camera import CameraModel
 
+    is_equirect = camera.model is CameraModel.EQUIRECTANGULAR
     bits1 = matching.unpack_desc_bits(feats1["desc"])
     bits2 = matching.unpack_desc_bits(feats2["desc"])
     m12 = matching.match_in_area(
         feats1["xy"], feats1["angle"], bits1, feats1["valid"],
         feats2["xy"], feats2["angle"], bits2, feats2["valid"],
         window=100.0, max_hamming=50, ratio=0.9,
+        wrap_cols=float(camera.cols) if is_equirect else None,
     )
     has = m12 >= 0
     N = m12.shape[0]
@@ -63,15 +66,24 @@ def try_initialize_mono(
     b1 = feats1["bearing"]
     b2 = feats2["bearing"][m_safe]
 
+    import math
+
     k1, k2 = jax.random.split(key)
-    E, in_e, s_e = ransac.essential_ransac(b1, b2, has, k2)
+    # Angular inlier threshold scaled to ~2 px at this camera's pixel pitch
+    # (equirectangular pixels subtend far larger angles than a ~500 px-focal
+    # pinhole, so a fixed angular bound would reject every true match).
+    ang_2px_sq = (2.0 / camera.focal_like) ** 2
+    E, in_e, s_e = ransac.essential_ransac(
+        b1, b2, has, k2, inlier_thr=max(1e-6, ang_2px_sq)
+    )
     if camera.model is CameraModel.EQUIRECTANGULAR:
         # Equirectangular init: essential matrix on sphere bearings only
         # (reference: initialize/bearing_vector.cc — no homography model
         # on the sphere).
         Rs_e, ts_e = ransac.decompose_essential(E)
         R, t, pts, good, count = ransac.select_pose_by_cheirality(
-            Rs_e, ts_e, b1, b2, in_e & has
+            Rs_e, ts_e, b1, b2, in_e & has, spherical=True,
+            reproj_cos=math.cos(5.0 / camera.focal_like),
         )
         return MonoInitResult(
             success=count >= min_triangulated,
@@ -82,6 +94,7 @@ def try_initialize_mono(
             point_ok=good,
             num_points=count,
             used_homography=jnp.asarray(False),
+            num_matches=jnp.sum(has.astype(jnp.int32)),
         )
     H, in_h, s_h = ransac.homography_ransac(uv1, uv2, has, k1)
 
@@ -124,13 +137,19 @@ def try_initialize_mono(
         point_ok=good,
         num_points=count,
         used_homography=use_h,
+        num_matches=jnp.sum(has.astype(jnp.int32)),
     )
 
 
-def scale_to_median_depth(points_w, point_ok, t_2w, target: float = 1.0):
+def scale_to_median_depth(points_w, point_ok, t_2w, target: float = 1.0,
+                          use_dist: bool = False):
     """Normalize map scale so median point depth (in frame 1 = world) is
-    ``target`` (reference: initializer.cc:310-320 scale_map)."""
-    z = jnp.where(point_ok, points_w[:, 2], jnp.nan)
+    ``target`` (reference: initializer.cc:310-320 scale_map). With
+    ``use_dist`` the ray length replaces z-depth (the reference's
+    compute_median_depth(abs=true) path used for equirectangular, where
+    points surround the camera and z has no sign convention)."""
+    depth = jnp.linalg.norm(points_w, axis=-1) if use_dist else points_w[:, 2]
+    z = jnp.where(point_ok, depth, jnp.nan)
     med = jnp.nanmedian(z)
     s = target / jnp.maximum(med, 1e-9)
     return points_w * s, t_2w * s, s

@@ -21,6 +21,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from structure_plp_slam_tpu.camera import CameraModel
+from structure_plp_slam_tpu.camera import base as cam_base
 from structure_plp_slam_tpu.data import map_state as ms
 from structure_plp_slam_tpu.models import bundle_adjustment as ba
 from structure_plp_slam_tpu.ops import lie, matching, triangulation
@@ -137,9 +139,10 @@ def triangulate_pair(
     Etb2 = b2 @ E
     d2 = jnp.maximum(jnp.sum(Etb2 * Etb2, axis=-1), 1e-12)[None, :]
     epi = num * num * (1.0 / d1 + 1.0 / d2)
-    # Threshold ~ (1 px / focal)^2, scaled by keypoint level sigma.
+    # Threshold ~ (1 px / focal)^2, scaled by keypoint level sigma
+    # (focal_like = pixels-per-radian; cols/2pi for equirectangular).
     lvl_sig = jnp.power(scale_factor, state.kf_level[kf1].astype(jnp.float32)) ** 2
-    thr = (2.0 / camera.fx) ** 2 * lvl_sig
+    thr = (2.0 / camera.focal_like) ** 2 * lvl_sig
     d = jnp.where(epi <= thr[:, None], d, HAMMING_MASKED)
 
     best = jnp.argmin(d, axis=1)
@@ -152,17 +155,16 @@ def triangulate_pair(
     pts_w = triangulation.triangulate_two_view(b1, b2m, R1, t1, R2, t2)
     pts_c1 = pts_w @ R1.T + t1
     pts_c2 = pts_w @ R2.T + t2
-    depth_ok = (pts_c1[:, 2] > 1e-6) & (pts_c2[:, 2] > 1e-6)
+    depth_ok = cam_base.cheirality(camera, pts_c1) & cam_base.cheirality(
+        camera, pts_c2
+    )
 
     def reproj_ok(pc, kf, idx):
-        z = jnp.maximum(pc[:, 2], 1e-9)
-        u = camera.fx * pc[:, 0] / z + camera.cx
-        v = camera.fy * pc[:, 1] / z + camera.cy
-        uv = jnp.stack([u, v], -1)
+        uv, _ = cam_base.project(camera, pc)
         obs = state.kf_xy[kf]
         if idx is not None:
             obs = obs[idx]
-        err = jnp.sum((uv - obs) ** 2, axis=-1)
+        err = jnp.sum(cam_base.uv_residual(camera, uv, obs) ** 2, axis=-1)
         return err <= 5.991 * lvl_sig
 
     rp_ok = reproj_ok(pts_c1, kf1, None) & reproj_ok(pts_c2, kf2, best)
@@ -224,11 +226,8 @@ def fuse_into_keyframe(camera, state: ms.MapState, kf, lm_cand_mask):
     vis = (
         lm_cand_mask
         & state.lm_valid
-        & (pc[:, 2] > 0)
-        & (uv[:, 0] >= 0)
-        & (uv[:, 0] < camera.cols)
-        & (uv[:, 1] >= 0)
-        & (uv[:, 1] < camera.rows)
+        & cam_base.cheirality(camera, pc)
+        & cam_base.in_image(camera, uv)
     )
     # Exclude landmarks already observed in kf.
     obs_here = jnp.zeros((L,), bool).at[
@@ -250,6 +249,11 @@ def fuse_into_keyframe(camera, state: ms.MapState, kf, lm_cand_mask):
         radius_by_level=jnp.full((8,), 3.0, jnp.float32),
         max_hamming=50,
         level_window=8,
+        wrap_cols=(
+            float(camera.cols)
+            if camera.model is CameraModel.EQUIRECTANGULAR
+            else None
+        ),
     )
     matched = kp_best >= 0
     safe_kp = jnp.where(matched, kp_best, N)
@@ -287,10 +291,8 @@ def fuse_into_keyframe(camera, state: ms.MapState, kf, lm_cand_mask):
 
 def _project(camera, R, t, pts):
     pc = pts @ R.T + t
-    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
-    u = camera.fx * pc[:, 0] / z + camera.cx
-    v = camera.fy * pc[:, 1] / z + camera.cy
-    return jnp.stack([u, v], -1), pc
+    uv, _ = cam_base.project(camera, pc)
+    return uv, pc
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from structure_plp_slam_tpu.camera import base as cam_base
 from structure_plp_slam_tpu.ops import lie, robust
 
 
@@ -42,15 +43,14 @@ class PoseOptResult(NamedTuple):
 
 def _point_jacobian_blocks(camera, pc):
     """Per-observation projection Jacobian wrt camera-space point ``[N,2,3]``
-    and its stereo x_right row ``[N,3]``."""
-    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    and its stereo x_right row ``[N,3]`` (model-dispatched; the stereo row
+    only exists for pinhole-style cameras and is masked off otherwise)."""
+    J_uv = cam_base.project_jacobian(camera, pc)  # [N, 2, 3]
+    x, z = pc[:, 0], pc[:, 2]
     z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     iz = 1.0 / z
     iz2 = iz * iz
-    fx, fy = camera.fx, camera.fy
-    row_u = jnp.stack([fx * iz, jnp.zeros_like(z), -fx * x * iz2], axis=-1)
-    row_v = jnp.stack([jnp.zeros_like(z), fy * iz, -fy * y * iz2], axis=-1)
-    J_uv = jnp.stack([row_u, row_v], axis=-2)  # [N, 2, 3]
+    fx = camera.fx
     row_xr = jnp.stack(
         [fx * iz, jnp.zeros_like(z), -fx * x * iz2 + camera.focal_x_baseline * iz2],
         axis=-1,
@@ -60,11 +60,10 @@ def _point_jacobian_blocks(camera, pc):
 
 def _residuals(camera, R, t, points_w, obs_uv, obs_xr):
     pc = points_w @ R.T + t
+    uv, _ = cam_base.project(camera, pc)
+    r_uv = cam_base.uv_residual(camera, uv, obs_uv)
     z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
-    u = camera.fx * pc[:, 0] / z + camera.cx
-    v = camera.fy * pc[:, 1] / z + camera.cy
-    r_uv = jnp.stack([u, v], axis=-1) - obs_uv
-    xr = u - camera.focal_x_baseline / z
+    xr = uv[..., 0] - camera.focal_x_baseline / z
     r_xr = xr - obs_xr
     return pc, r_uv, r_xr
 

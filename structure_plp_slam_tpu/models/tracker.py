@@ -22,6 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from structure_plp_slam_tpu.camera import CameraModel
+from structure_plp_slam_tpu.camera import base as cam_base
 from structure_plp_slam_tpu.data import map_state as ms
 from structure_plp_slam_tpu.models import pose_opt
 from structure_plp_slam_tpu.ops import matching
@@ -40,28 +42,22 @@ class TrackResult(NamedTuple):
 
 def _project_landmarks(camera, R, t, lm_pos):
     pc = lm_pos @ R.T + t
-    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
-    u = camera.fx * pc[:, 0] / z + camera.cx
-    v = camera.fy * pc[:, 1] / z + camera.cy
-    return jnp.stack([u, v], axis=-1), pc
+    uv, _ = cam_base.project(camera, pc)
+    return uv, pc
 
 
 def _visibility(camera, uv, pc, lm_normal, lm_dist_min, lm_dist_max, margin=5.0):
     """can_observe gating (reference: frame.cc:797): in image, positive
-    depth, distance within ORB scale bounds, viewing angle < 60 deg."""
-    in_img = (
-        (uv[:, 0] >= margin)
-        & (uv[:, 0] < camera.cols - margin)
-        & (uv[:, 1] >= margin)
-        & (uv[:, 1] < camera.rows - margin)
-    )
+    depth (any direction for equirectangular), distance within ORB scale
+    bounds, viewing angle < 60 deg."""
+    in_img = cam_base.in_image(camera, uv, margin)
     dist = jnp.linalg.norm(pc, axis=-1)
     in_scale = (dist >= 0.8 * lm_dist_min) & (dist <= 1.3 * lm_dist_max)
     view = pc / jnp.maximum(dist[:, None], 1e-9)
     # lm_normal is the mean world-frame viewing direction (cam->point); the
     # current viewing direction in world frame is R^T @ view.
     cos = jnp.sum(view * lm_normal, axis=-1)  # normals stored in cam-agnostic form
-    return in_img & (pc[:, 2] > 0.0) & in_scale, dist
+    return in_img & cam_base.cheirality(camera, pc) & in_scale, dist
 
 
 def _assoc_to_kp_lm(lm_idx_global, kp_best, dist, num_kps):
@@ -133,8 +129,17 @@ def track_frame(
     from structure_plp_slam_tpu.ops import pallas_matching as pm
 
     lm_bits = matching.unpack_desc_bits(state.lm_desc)
+    # Equirectangular windows wrap horizontally — the fused kernel's plain
+    # |du| gate does not, so that model takes the masked-matmul path.
     use_pallas = (
-        jax.default_backend() == "tpu" and L % pm.TILE_L == 0
+        jax.default_backend() == "tpu"
+        and L % pm.TILE_L == 0
+        and camera.model is not CameraModel.EQUIRECTANGULAR
+    )
+    wrap_cols = (
+        float(camera.cols)
+        if camera.model is CameraModel.EQUIRECTANGULAR
+        else None
     )
     if use_pallas:
         Np = ((N + pm.TILE_N - 1) // pm.TILE_N) * pm.TILE_N
@@ -186,11 +191,17 @@ def track_frame(
                 radius_by_level=radius_table,
                 max_hamming=max_h,
                 ratio=ratio,
+                wrap_cols=wrap_cols,
             )
         return _assoc_to_kp_lm(jnp.arange(L, dtype=jnp.int32), kp_best, d_best, N)
 
-    kp_lm_n0 = assoc(R_pred, t_pred, last_lm_mask, radius_table_narrow, 50, None)
-    kp_lm_w0 = assoc(R_pred, t_pred, last_lm_mask, radius_table_wide, 50, None)
+    # Projection-window matching uses the reference's loose Hamming bound
+    # (match::base HAMMING_DIST_THR_HIGH = 100, used by
+    # match_current_and_last_frames / match_frame_and_local_landmarks) —
+    # the spatial window is the primary gate; chi2 in the LM solve culls
+    # descriptor-level mistakes.
+    kp_lm_n0 = assoc(R_pred, t_pred, last_lm_mask, radius_table_narrow, 100, None)
+    kp_lm_w0 = assoc(R_pred, t_pred, last_lm_mask, radius_table_wide, 100, None)
 
     # Fallback strategy: descriptor-only matching against the reference
     # keyframe's landmarks, no spatial windows (the reference's
@@ -276,7 +287,7 @@ def track_frame(
             jnp.where(kp_free, feats["level"].astype(jnp.float32), 1e9)
         )
         bd2, sd2, kb2 = pm.fused_match(lm_bits, lm_meta2, kp_bits_p, kp_meta2)
-        ok2 = (bd2 <= 50) & (bd2 <= 0.85 * sd2)
+        ok2 = (bd2 <= 100) & (bd2 <= 0.85 * sd2)
         kp_best2 = jnp.where(ok2 & (kb2 < N), kb2, -1)
         d_best2 = bd2.astype(jnp.int32)
     else:
@@ -284,7 +295,8 @@ def track_frame(
         kp_best2, d_best2 = matching.match_by_projection_precomputed(
             d_free, uv2, pred_level2, cand2,
             feats["xy"], feats["level"],
-            radius_by_level=radius_table_narrow, max_hamming=50, ratio=0.85,
+            radius_by_level=radius_table_narrow, max_hamming=100, ratio=0.85,
+            wrap_cols=wrap_cols,
         )
     kp_lm_2 = _assoc_to_kp_lm(jnp.arange(L, dtype=jnp.int32), kp_best2, d_best2, N)
     kp_lm_union = jnp.where(kp_lm_1 >= 0, kp_lm_1, kp_lm_2)

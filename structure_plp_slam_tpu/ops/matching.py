@@ -33,6 +33,15 @@ from structure_plp_slam_tpu.utils.types import HAMMING_MASKED
 ANGLE_BINS = 30
 
 
+def _abs_du(pred_u, kp_u, wrap_cols):
+    """|u_pred - u_kp| per pair ``[L, N]``; wraps horizontally when
+    ``wrap_cols`` is set (equirectangular images are periodic in u)."""
+    du = jnp.abs(pred_u[:, None] - kp_u[None, :])
+    if wrap_cols is not None:
+        du = jnp.minimum(du, wrap_cols - du)
+    return du
+
+
 def unpack_desc_bits(desc_u32):
     """``[..., 8] u32 -> [..., 256]`` bf16 in {-1, +1} (bit-plane form)."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
@@ -74,6 +83,7 @@ def match_by_projection_precomputed(
     max_hamming: int = 50,
     ratio: float | None = None,
     level_window: int = 1,
+    wrap_cols: float | None = None,
 ):
     """Windowed matching over a PRECOMPUTED distance matrix ``d [L, N]``.
 
@@ -83,7 +93,7 @@ def match_by_projection_precomputed(
     """
     d = jnp.where(lm_valid[:, None], d, HAMMING_MASKED)
     radius = radius_by_level[jnp.clip(pred_level, 0, radius_by_level.shape[0] - 1)]
-    dx = jnp.abs(pred_uv[:, 0:1] - kp_xy[None, :, 0])
+    dx = _abs_du(pred_uv[:, 0], kp_xy[:, 0], wrap_cols)
     dy = jnp.abs(pred_uv[:, 1:2] - kp_xy[None, :, 1])
     in_window = (dx <= radius[:, None]) & (dy <= radius[:, None])
     in_level = jnp.abs(kp_level[None, :] - pred_level[:, None]) <= level_window
@@ -115,6 +125,7 @@ def match_by_projection(
     max_hamming: int = 50,
     ratio: float | None = None,
     level_window: int = 1,
+    wrap_cols: float | None = None,
 ):
     """Landmark -> keypoint matching inside a reprojection window.
 
@@ -139,7 +150,7 @@ def match_by_projection(
     d = distance_matrix_mxu(lm_bits, kp_bits, lm_valid, kp_valid)  # [L, N]
 
     radius = radius_by_level[jnp.clip(pred_level, 0, radius_by_level.shape[0] - 1)]
-    dx = jnp.abs(pred_uv[:, 0:1] - kp_xy[None, :, 0])
+    dx = _abs_du(pred_uv[:, 0], kp_xy[:, 0], wrap_cols)
     dy = jnp.abs(pred_uv[:, 1:2] - kp_xy[None, :, 1])
     in_window = (dx <= radius[:, None]) & (dy <= radius[:, None])
     in_level = jnp.abs(kp_level[None, :] - pred_level[:, None]) <= level_window
@@ -171,6 +182,7 @@ def match_in_area(
     max_hamming: int = 50,
     ratio: float = 0.9,
     check_orientation: bool = True,
+    wrap_cols: float | None = None,
 ):
     """2D-2D windowed matching for monocular initialization.
 
@@ -182,7 +194,7 @@ def match_in_area(
     Returns ``idx_2_for_1 [N1] i32`` (-1 for unmatched).
     """
     d = distance_matrix_mxu(kp_bits_1, kp_bits_2, kp_valid_1, kp_valid_2)
-    dx = jnp.abs(kp_xy_1[:, 0:1] - kp_xy_2[None, :, 0])
+    dx = _abs_du(kp_xy_1[:, 0], kp_xy_2[:, 0], wrap_cols)
     dy = jnp.abs(kp_xy_1[:, 1:2] - kp_xy_2[None, :, 1])
     d = jnp.where((dx <= window) & (dy <= window), d, HAMMING_MASKED)
 

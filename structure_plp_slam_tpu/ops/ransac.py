@@ -263,9 +263,13 @@ def decompose_homography(H, K):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("min_parallax_deg",))
+@functools.partial(
+    jax.jit, static_argnames=("min_parallax_deg", "spherical", "reproj_cos")
+)
 def select_pose_by_cheirality(Rs, ts, b1, b2, valid, *,
-                              min_parallax_deg: float = 1.0):
+                              min_parallax_deg: float = 1.0,
+                              spherical: bool = False,
+                              reproj_cos: float = 0.9998):
     """Pick the (R, t) candidate maximizing valid triangulations.
 
     ``Rs [C,3,3], ts [C,3]``: candidate poses of cam2 wrt cam1 (x2 = R x1 + t).
@@ -276,6 +280,12 @@ def select_pose_by_cheirality(Rs, ts, b1, b2, valid, *,
     initialize/base.cc check_pose parallax_deg_thr = 1.0) — two-view
     initialization MUST refuse low-parallax geometry or the map is born
     with unusable depths.
+
+    ``spherical``: full-sphere bearings (equirectangular) — points behind
+    the camera are observable, so the z > 0 cheirality gate is replaced by
+    along-the-ray positivity, which the direction-cosine check enforces
+    (reference: initialize/bearing_vector.cc relies on the same ray-side
+    disambiguation).
     """
     import math
 
@@ -285,13 +295,22 @@ def select_pose_by_cheirality(Rs, ts, b1, b2, valid, *,
     def tri(R, t):
         pts = triangulation.triangulate_dlt(b1, b2, R, t)
         pts_c2 = pts @ R.T + t
-        depth_ok = (pts[:, 2] > 1e-6) & (pts_c2[:, 2] > 1e-6)
+        if spherical:
+            depth_ok = (jnp.sum(pts * b1, axis=-1) > 1e-6) & (
+                jnp.sum(pts_c2 * b2, axis=-1) > 1e-6
+            )
+        else:
+            depth_ok = (pts[:, 2] > 1e-6) & (pts_c2[:, 2] > 1e-6)
 
         def dircos(p, b):
             d = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
             return jnp.sum(d * b, axis=-1)
 
-        reproj_ok = (dircos(pts, b1) > 0.9998) & (dircos(pts_c2, b2) > 0.9998)
+        # reproj_cos ~ cos(5 px / focal): ray-direction agreement gate
+        # (caller scales it by the camera's angular pixel pitch).
+        reproj_ok = (dircos(pts, b1) > reproj_cos) & (
+            dircos(pts_c2, b2) > reproj_cos
+        )
         par = jnp.sum((b1 @ R.T) * b2, axis=-1)
         parallax_ok = par < max_cos
         good = depth_ok & reproj_ok & parallax_ok & valid

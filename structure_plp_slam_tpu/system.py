@@ -42,7 +42,7 @@ from structure_plp_slam_tpu.models import (
     relocalizer as reloc_mod,
     tracker,
 )
-from structure_plp_slam_tpu.camera import CameraSetup
+from structure_plp_slam_tpu.camera import CameraModel, CameraSetup
 from structure_plp_slam_tpu.utils.types import round_up
 
 
@@ -381,14 +381,20 @@ class System:
             self.camera, self._init_feats, feats, self._split_key()
         )
         if not bool(res.success):
-            # Too little structure: restart from the current frame.
-            if int(np.asarray(feats["valid"]).sum()) >= 100:
+            # Keep the reference frame while it still matches well — the
+            # failure is then low parallax, which more baseline fixes
+            # (reference: initializer.cc keeps init_frm_ and retries).
+            # Restart from the current frame only when matches ran out.
+            if int(np.asarray(res.num_matches)) < 50 and (
+                int(np.asarray(feats["valid"]).sum()) >= 100
+            ):
                 self._init_feats = feats
                 self._init_ts = ts
             return False
 
         pts, t2, s = initializer.scale_to_median_depth(
-            res.points_w, res.point_ok, res.t_2w
+            res.points_w, res.point_ok, res.t_2w,
+            use_dist=self.camera.model is CameraModel.EQUIRECTANGULAR,
         )
 
         f1 = self._init_feats

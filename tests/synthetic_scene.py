@@ -140,6 +140,50 @@ def render_fisheye(camera, tex, R_cw, t_cw, plane_half: float = PLANE_HALF):
     return img, depth
 
 
+def render_equirect(camera, tex, R_cw, t_cw, box_half: float = 6.0):
+    """Render a 360° lat/long image from inside a textured cube room.
+
+    Every bearing direction hits a wall, exercising the full-sphere
+    observability of the equirectangular model (points behind the 'front'
+    hemisphere included). Returns (image, range-map) — range is ray length,
+    the equirectangular depth convention."""
+    from structure_plp_slam_tpu.camera import equirectangular as eq
+
+    H, W = camera.rows, camera.cols
+    ys, xs = np.mgrid[0:H, 0:W]
+    pix = np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5], 1).astype(np.float32)
+    b = np.asarray(eq.bearings(camera, jnp.asarray(pix))).reshape(H, W, 3)
+    R_wc = R_cw.T
+    C = -R_cw.T @ t_cw
+    dw = b.astype(np.float64) @ R_wc.T
+    size = tex.shape[0]
+    best_lam = np.full((H, W), np.inf)
+    img = np.zeros((H, W), np.float32)
+    face = 0
+    for ax, u_ax, v_ax in ((0, 1, 2), (1, 0, 2), (2, 0, 1)):
+        for sign in (1.0, -1.0):
+            denom = dw[..., ax]
+            denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            lam = (sign * box_half - C[ax]) / denom
+            pw_u = C[u_ax] + lam * dw[..., u_ax]
+            pw_v = C[v_ax] + lam * dw[..., v_ax]
+            hit = (
+                (lam > 0.05)
+                & (np.abs(pw_u) <= box_half + 1e-6)
+                & (np.abs(pw_v) <= box_half + 1e-6)
+                & (lam < best_lam)
+            )
+            u = (pw_u + box_half) / (2 * box_half) * (size - 1)
+            v = (pw_v + box_half) / (2 * box_half) * (size - 1)
+            off = (face * size) // 7  # per-face texture shift
+            ui = (np.clip(u.astype(int), 0, size - 1) + off) % size
+            vi = np.clip(v.astype(int), 0, size - 1)
+            img = np.where(hit, tex[vi, ui], img)
+            best_lam = np.where(hit, lam, best_lam)
+            face += 1
+    return img.astype(np.float32), best_lam.astype(np.float32)
+
+
 def trajectory(num_frames, step=0.06, rot=0.004):
     """A gentle arc: translate along +x with slight yaw."""
     poses = []
