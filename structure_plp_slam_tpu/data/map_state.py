@@ -72,6 +72,8 @@ class MapState(NamedTuple):
     ln_desc: jax.Array       # [L2, LD] f32 representative descriptor
     ln_valid: jax.Array      # [L2] bool
     ln_ref_kf: jax.Array     # [L2] i32
+    ln_n_vis: jax.Array      # [L2] i32 frames where predicted visible
+    ln_n_fnd: jax.Array      # [L2] i32 frames where actually matched
     # --- plane landmarks (reference: data/landmark_plane.{h,cc}) ---------
     pl_coef: jax.Array       # [P, 4] f32 plane (n, d): n.x + d = 0, |n|=1
     pl_valid: jax.Array      # [P] bool
@@ -93,7 +95,9 @@ class MapState(NamedTuple):
 
 def create(max_keyframes: int = 256, max_kps: int = 1024, max_landmarks: int = 16384,
            max_lines_per_kf: int = 64, max_line_landmarks: int = 2048,
-           line_desc_dim: int = 18, max_planes: int = 64):
+           line_desc_dim: int | None = None, max_planes: int = 64):
+    if line_desc_dim is None:
+        from structure_plp_slam_tpu.ops.lines import DESC_DIM as line_desc_dim
     K, N, L = max_keyframes, max_kps, max_landmarks
     ML, L2, LD = max_lines_per_kf, max_line_landmarks, line_desc_dim
     P = max_planes
@@ -134,6 +138,8 @@ def create(max_keyframes: int = 256, max_kps: int = 1024, max_landmarks: int = 1
         ln_desc=jnp.zeros((L2, LD), f32),
         ln_valid=jnp.zeros((L2,), bool),
         ln_ref_kf=jnp.full((L2,), -1, jnp.int32),
+        ln_n_vis=jnp.zeros((L2,), jnp.int32),
+        ln_n_fnd=jnp.zeros((L2,), jnp.int32),
         pl_coef=jnp.zeros((P, 4), f32),
         pl_valid=jnp.zeros((P,), bool),
         pl_needs_refresh=jnp.zeros((P,), bool),

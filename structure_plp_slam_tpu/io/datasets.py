@@ -157,7 +157,8 @@ class PrefetchReader:
                     break
                 img = imread_gray(rec.img_path)
                 d = (
-                    imread_depth(rec.depth_path)
+                    imread_depth(rec.depth_path).astype(np.float32)
+                    / depth_factor
                     if depth and rec.depth_path
                     else None
                 )

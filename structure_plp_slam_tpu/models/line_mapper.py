@@ -73,6 +73,65 @@ def match_lines_to_frame(camera, state: ms.MapState, seg, seg_desc, seg_valid,
     return jnp.where(ok, best_line, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("camera",))
+def update_line_stats(camera, state: ms.MapState, seg_line_idx, R, t):
+    """Per-frame observed/observable bookkeeping for lines (the line analog
+    of landmark::increase_num_observable/observed; feeds culling)."""
+    L2 = state.ln_pluck.shape[0]
+    e1c = state.ln_endpoints[:, :3] @ R.T + t
+    e2c = state.ln_endpoints[:, 3:] @ R.T + t
+    mid = 0.5 * (e1c + e2c)
+    z = jnp.maximum(mid[:, 2], 1e-6)
+    u = camera.fx * mid[:, 0] / z + camera.cx
+    v = camera.fy * mid[:, 1] / z + camera.cy
+    vis = (
+        state.ln_valid
+        & (e1c[:, 2] > 0.05)
+        & (e2c[:, 2] > 0.05)
+        & (u >= 0) & (u < camera.cols) & (v >= 0) & (v < camera.rows)
+    )
+    fnd = jnp.zeros((L2,), bool).at[
+        jnp.clip(seg_line_idx, 0, L2 - 1)
+    ].set(seg_line_idx >= 0)
+    return state._replace(
+        ln_n_vis=state.ln_n_vis + vis.astype(jnp.int32),
+        ln_n_fnd=state.ln_n_fnd + (fnd & state.ln_valid).astype(jnp.int32),
+    )
+
+
+@jax.jit
+def cull_lines(state: ms.MapState, current_kf):
+    """Remove unreliable lines: observed-ratio < 0.3 once seen enough, or
+    old enough but registered in <= 1 keyframe (reference:
+    local_map_cleaner::remove_redundant_landmarks_line,
+    local_map_cleaner.cc:133). Two-view line creation is deliberately
+    permissive (plane intersection cannot disambiguate clipped parallel
+    segments from a pair alone); re-observation is the real filter.
+    """
+    L2 = state.ln_pluck.shape[0]
+    counts = (
+        jnp.zeros((L2 + 1,), jnp.int32)
+        .at[jnp.where(state.kf_line_idx >= 0, state.kf_line_idx, L2)]
+        .add(1)[:L2]
+    )
+    ratio = state.ln_n_fnd.astype(jnp.float32) / jnp.maximum(
+        state.ln_n_vis.astype(jnp.float32), 1.0
+    )
+    age = current_kf - state.ln_ref_kf
+    bad = state.ln_valid & (
+        ((state.ln_n_vis >= 4) & (ratio < 0.3))
+        | ((age >= 3) & (counts <= 1))
+    )
+    kf_line_idx = jnp.where(
+        bad[jnp.clip(state.kf_line_idx, 0, L2 - 1)] & (state.kf_line_idx >= 0),
+        -1,
+        state.kf_line_idx,
+    )
+    return state._replace(
+        ln_valid=state.ln_valid & ~bad, kf_line_idx=kf_line_idx
+    ), jnp.sum(bad)
+
+
 def line_pose_residuals(camera, R, t, pluck_w, seg):
     """Endpoint-to-projected-line residuals ``[M, 2]`` for pose (R, t)."""
     pl_c = lg.transform_line(pluck_w, R, t)
@@ -204,73 +263,309 @@ def refresh_lines(camera, state: ms.MapState):
 
 
 @functools.partial(jax.jit, static_argnames=("camera",))
+def lines_from_points(camera, state: ms.MapState, kf, base_slot):
+    """Instantiate 3D lines by anchoring segments to co-located POINT
+    landmarks (monocular path).
+
+    For each unassociated segment, landmarks projecting onto it carry
+    BA-refined depth; inverse depth is linear along the image segment for
+    a 3D line, so a weighted 1/z(t) line fit over those landmarks gives
+    the segment's endpoint depths directly. This replaces the reference's
+    noise-sensitive two-view plane intersection as the PRIMARY mono line
+    source (two_view_triangulator_line.cc stays as the fallback for
+    segments without point support) — the structural point<->line coupling
+    mirrors how the reference's planes regularize points, in reverse.
+
+    Returns (state, num_created).
+    """
+    ML = state.kf_seg.shape[1]
+    N = state.kf_xy.shape[1]
+    Lp = state.lm_pos.shape[0]
+    L2 = state.ln_pluck.shape[0]
+    seg = state.kf_seg[kf]
+    free = state.kf_seg_valid[kf] & (state.kf_line_idx[kf] < 0)
+
+    R, t = state.kf_pose[kf, :, :3], state.kf_pose[kf, :, 3]
+    lm_idx = state.kf_lm_idx[kf]
+    has_lm = (lm_idx >= 0) & state.kf_kp_valid[kf]
+    pc = state.lm_pos[jnp.clip(lm_idx, 0, Lp - 1)] @ R.T + t
+    z_lm = pc[:, 2]
+    xy = state.kf_xy[kf]
+
+    a = seg[:, 1] - seg[:, 3]
+    b = seg[:, 2] - seg[:, 0]
+    c = seg[:, 0] * seg[:, 3] - seg[:, 2] * seg[:, 1]
+    nrm = jnp.sqrt(jnp.maximum(a * a + b * b, 1e-12))
+    d_perp = jnp.abs(
+        a[:, None] * xy[None, :, 0] + b[:, None] * xy[None, :, 1] + c[:, None]
+    ) / nrm[:, None]
+    seg_len = jnp.maximum(
+        jnp.linalg.norm(seg[:, 2:4] - seg[:, 0:2], axis=-1), 1e-6
+    )
+    ux = (seg[:, 2] - seg[:, 0]) / seg_len
+    uy = (seg[:, 3] - seg[:, 1]) / seg_len
+    t_al = (
+        (xy[None, :, 0] - seg[:, 0:1]) * ux[:, None]
+        + (xy[None, :, 1] - seg[:, 1:2]) * uy[:, None]
+    )  # [ML, N]
+    w = (
+        has_lm[None, :]
+        & (z_lm[None, :] > 1e-6)
+        & (d_perp <= 4.0)
+        & (t_al >= -3.0)
+        & (t_al <= seg_len[:, None] + 3.0)
+    ).astype(jnp.float32)
+
+    # Weighted LSQ fit of inverse depth rho(t) = r0 + r1 * t per segment.
+    tau = t_al / seg_len[:, None]  # normalize for conditioning
+    rho = 1.0 / jnp.maximum(z_lm[None, :], 1e-6)
+
+    # Depth-discontinuity rejection: supports on the two SIDES of the
+    # segment must agree in depth. A segment along an occlusion boundary
+    # (e.g. a foreground patch edge) has consistent-looking but bimodal
+    # support — the fit would thread between the two surfaces (the same
+    # check lines_from_depth applies using the depth map).
+    side = (
+        a[:, None] * xy[None, :, 0] + b[:, None] * xy[None, :, 1] + c[:, None]
+    ) > 0.0
+    S0 = jnp.sum(w, axis=1)
+    S1 = jnp.sum(w * tau, axis=1)
+    S2 = jnp.sum(w * tau * tau, axis=1)
+    Sr = jnp.sum(w * rho, axis=1)
+    Str = jnp.sum(w * tau * rho, axis=1)
+    det = S0 * S2 - S1 * S1
+    safe_det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+    r1 = (S0 * Str - S1 * Sr) / safe_det
+    r0 = (Sr - r1 * S1) / jnp.maximum(S0, 1e-6)
+    # Fit residual (inverse-depth units) and support spread.
+    pred = r0[:, None] + r1[:, None] * tau
+    resid = jnp.sum(w * (rho - pred) ** 2, axis=1) / jnp.maximum(S0, 1e-6)
+    mean_rho = Sr / jnp.maximum(S0, 1e-6)
+    spread = S2 / jnp.maximum(S0, 1e-6) - (S1 / jnp.maximum(S0, 1e-6)) ** 2
+    # Endpoints only span the SUPPORTED extent (slightly extended): the
+    # fit is an interpolator, not an extrapolator — endpoint depth error
+    # grows with distance from the support cluster.
+    tau_sup = jnp.where(w > 0, tau, jnp.inf)
+    t_lo = jnp.clip(jnp.min(tau_sup, axis=1) - 0.15, 0.0, 1.0)
+    tau_sup_hi = jnp.where(w > 0, tau, -jnp.inf)
+    t_hi = jnp.clip(jnp.max(tau_sup_hi, axis=1) + 0.15, 0.0, 1.0)
+    rho0 = r0 + r1 * t_lo
+    rho1 = r0 + r1 * t_hi
+    wl = w * side.astype(jnp.float32)
+    wr = w * (~side).astype(jnp.float32)
+    nl = jnp.sum(wl, axis=1)
+    nr = jnp.sum(wr, axis=1)
+    rho_l = jnp.sum(wl * rho, axis=1) / jnp.maximum(nl, 1e-6)
+    rho_r = jnp.sum(wr * rho, axis=1) / jnp.maximum(nr, 1e-6)
+    sides_agree = (
+        (nl < 1.0)
+        | (nr < 1.0)
+        | (jnp.abs(rho_l - rho_r) <= 0.15 * jnp.maximum(mean_rho, 1e-6))
+    )
+
+    good = (
+        free
+        & (S0 >= 3.0)
+        & (spread >= 0.06)  # supports spread across the segment
+        & (t_hi - t_lo >= 0.5)  # supported extent covers half the segment
+        & (resid <= (0.08 * mean_rho) ** 2)  # coplanar support, no jumps
+        & sides_agree
+        & (rho0 > 1e-6)
+        & (rho1 > 1e-6)
+    )
+
+    def backproj(u, v, z):
+        x = (u - camera.cx) / camera.fx * z
+        y = (v - camera.cy) / camera.fy * z
+        p_c = jnp.stack([x, y, z], axis=-1)
+        return (p_c - t) @ R
+
+    u_lo = seg[:, 0] + t_lo * (seg[:, 2] - seg[:, 0])
+    v_lo = seg[:, 1] + t_lo * (seg[:, 3] - seg[:, 1])
+    u_hi = seg[:, 0] + t_hi * (seg[:, 2] - seg[:, 0])
+    v_hi = seg[:, 1] + t_hi * (seg[:, 3] - seg[:, 1])
+    e1w = backproj(u_lo, v_lo, 1.0 / jnp.maximum(rho0, 1e-6))
+    e2w = backproj(u_hi, v_hi, 1.0 / jnp.maximum(rho1, 1e-6))
+    pl_w = lg.plucker_from_endpoints(e1w, e2w)
+
+    order = jnp.cumsum(good.astype(jnp.int32)) - 1
+    slots = base_slot + order
+    safe = jnp.where(good, slots, L2)
+    state = state._replace(
+        ln_pluck=state.ln_pluck.at[safe].set(pl_w, mode="drop"),
+        ln_endpoints=state.ln_endpoints.at[safe].set(
+            jnp.concatenate([e1w, e2w], axis=-1), mode="drop"
+        ),
+        ln_desc=state.ln_desc.at[safe].set(state.kf_seg_desc[kf], mode="drop"),
+        ln_valid=state.ln_valid.at[safe].set(good, mode="drop"),
+        ln_ref_kf=state.ln_ref_kf.at[safe].set(kf, mode="drop"),
+    )
+    li = jnp.where(good, slots, state.kf_line_idx[kf])
+    state = state._replace(kf_line_idx=state.kf_line_idx.at[kf].set(li))
+    return state, jnp.sum(good.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("camera",))
 def triangulate_lines_pair(camera, state: ms.MapState, kf1, kf2, base_slot):
     """Create 3D lines from unassociated segments of two keyframes.
 
     Returns (state, num_created). Mirrors mapping_module's parallel line
-    triangulation (mapping_module.cc:407-408 + two_view_triangulator_line).
+    triangulation (mapping_module.cc:407-408 + two_view_triangulator_line)
+    with a TPU-shaped twist: instead of matching by descriptor FIRST and
+    triangulating the winners (which plane-intersection cannot then verify
+    — a wrong match between parallel segments still reprojects exactly
+    onto both infinite lines), ALL ML x ML segment pairs are triangulated
+    in one batch and the *geometric* evidence — symmetric endpoint
+    transfer between views — joins the descriptor in match selection.
+    Repetitive structure (parallel grid/edge lines) would otherwise alias.
     """
     ML = state.kf_seg.shape[1]
     L2 = state.ln_pluck.shape[0]
     free1 = state.kf_seg_valid[kf1] & (state.kf_line_idx[kf1] < 0)
     free2 = state.kf_seg_valid[kf2] & (state.kf_line_idx[kf2] < 0)
-    d = line_ops.line_descriptor_distance_matrix(
+    desc_d = line_ops.line_descriptor_distance_matrix(
         state.kf_seg_desc[kf1], state.kf_seg_desc[kf2], free1, free2
-    )
-    best = jnp.argmin(d, axis=1)
-    best_d = jnp.min(d, axis=1)
-    rev = jnp.argmin(d, axis=0)
-    ok = (best_d <= 0.45) & (rev[best] == jnp.arange(ML)) & free1
+    )  # [ML, ML]
 
     R1, t1 = state.kf_pose[kf1, :, :3], state.kf_pose[kf1, :, 3]
     R2, t2 = state.kf_pose[kf2, :, :3], state.kf_pose[kf2, :, 3]
-    seg1 = state.kf_seg[kf1]
-    seg2 = state.kf_seg[kf2][best]
-    pl_w, tri_ok = lg.triangulate_line_two_view(
-        camera, seg1, seg2, R1, t1, R2, t2
+    s1 = jnp.broadcast_to(state.kf_seg[kf1][:, None, :], (ML, ML, 4))
+    s2 = jnp.broadcast_to(state.kf_seg[kf2][None, :, :], (ML, ML, 4))
+    pl_w, tri_ok = lg.triangulate_line_two_view(camera, s1, s2, R1, t1, R2, t2)
+
+    def transfer(pl_w, R_from, t_from, seg_from, R_to, t_to, seg_to):
+        """Trim endpoints against seg_from, reproject into the other view,
+        1D overlap with seg_to along its own direction. Overlap (not
+        endpoint distance) because image-border clipping puts the two
+        views' endpoints at different physical points on the same line."""
+        pl_c = lg.transform_line(pl_w, R_from, t_from)
+        eps_c, depth_ok = lg.trim_endpoints(camera, pl_c, seg_from)
+        C = jnp.broadcast_to(t_from, eps_c[..., 0, :].shape)
+        e1w = jnp.einsum("...i,ij->...j", eps_c[..., 0, :] - C, R_from)
+        e2w = jnp.einsum("...i,ij->...j", eps_c[..., 1, :] - C, R_from)
+
+        def proj(pw):
+            pc = jnp.einsum("...j,ij->...i", pw, R_to) + t_to
+            z = jnp.maximum(pc[..., 2], 1e-6)
+            return jnp.stack(
+                [camera.fx * pc[..., 0] / z + camera.cx,
+                 camera.fy * pc[..., 1] / z + camera.cy], axis=-1
+            ), pc[..., 2]
+
+        p1, z1 = proj(e1w)
+        p2, z2 = proj(e2w)
+        a, b = seg_to[..., 0:2], seg_to[..., 2:4]
+        length = jnp.maximum(jnp.linalg.norm(b - a, axis=-1), 1e-6)
+        u = (b - a) / length[..., None]
+        tp1 = jnp.sum((p1 - a) * u, axis=-1)
+        tp2 = jnp.sum((p2 - a) * u, axis=-1)
+        lo = jnp.minimum(tp1, tp2)
+        hi = jnp.maximum(tp1, tp2)
+        inter = jnp.minimum(hi, length) - jnp.maximum(lo, 0.0)
+        ov = inter / jnp.maximum(jnp.minimum(hi - lo, length), 1e-6)
+        ok = depth_ok & (z1 > 0.05) & (z2 > 0.05)
+        return ov, ok, e1w, e2w
+
+    ov12, ok12, e1w, e2w = transfer(pl_w, R1, t1, s1, R2, t2, s2)
+    ov21, ok21, _, _ = transfer(pl_w, R2, t2, s2, R1, t1, s1)
+
+    # 2D orientation agreement (mod pi): inter-keyframe rotation is small,
+    # so matched segments must have similar image orientation — the
+    # segment analog of the reference's rotation-consistency histogram.
+    # Plane intersection cannot check this itself (any pair of segments
+    # yields SOME 3D line that reprojects onto both).
+    def seg_dir(seg):
+        d = jnp.stack([seg[..., 2] - seg[..., 0], seg[..., 3] - seg[..., 1]],
+                      axis=-1)
+        return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+
+    dir_cos = jnp.abs(jnp.sum(seg_dir(s1) * seg_dir(s2), axis=-1))
+
+    pair_ok = (
+        free1[:, None]
+        & free2[None, :]
+        & tri_ok
+        & ok12
+        & ok21
+        & (desc_d <= 0.8)  # permissive: re-observation culling filters
+        & (dir_cos > 0.966)  # within ~15 deg mod pi
+        & (ov12 > 0.5)
+        & (ov21 > 0.5)  # symmetric along-line overlap
     )
+    cost = jnp.where(pair_ok, (2.0 - ov12 - ov21) + desc_d, jnp.inf)
+    best = jnp.argmin(cost, axis=1)
+    best_cost = jnp.min(cost, axis=1)
+    rev = jnp.argmin(cost, axis=0)
+    good = jnp.isfinite(best_cost) & (rev[best] == jnp.arange(ML))
 
-    # Verify by reprojection into both views.
-    r1 = line_pose_residuals(camera, R1, t1, pl_w, seg1)
-    r2 = line_pose_residuals(camera, R2, t2, pl_w, seg2)
-    reproj_ok = (jnp.abs(r1).max(axis=-1) < 3.0) & (jnp.abs(r2).max(axis=-1) < 3.0)
+    rows = jnp.arange(ML)
+    pl_sel = pl_w[rows, best]
+    e1_sel = e1w[rows, best]
+    e2_sel = e2w[rows, best]
 
-    # Endpoints from kf1's segment trimming.
-    pl_c1 = lg.transform_line(pl_w, R1, t1)
-    eps_c1, depth_ok = lg.trim_endpoints(camera, pl_c1, seg1)
-    # To world: X_w = R^T (X_c - t).
-    e1w = (eps_c1[:, 0] - t1) @ R1
-    e2w = (eps_c1[:, 1] - t1) @ R1
+    # Depth-prior gate against the POINT map: keypoint landmarks whose
+    # kf1 projection lies on the segment must agree with the line's depth.
+    # Plane intersection cannot disambiguate border-clipped parallel
+    # segments (any two parallel verticals are consistent with SOME 3D
+    # line); co-located point landmarks carry the trusted depth. This is
+    # the point<->line structural coupling this framework adds where the
+    # reference relies on LBD descriptor strength alone.
+    seg1 = state.kf_seg[kf1]
+    a = seg1[:, 1] - seg1[:, 3]  # line coeffs through the two endpoints
+    b = seg1[:, 2] - seg1[:, 0]
+    c = seg1[:, 0] * seg1[:, 3] - seg1[:, 2] * seg1[:, 1]
+    nrm = jnp.sqrt(jnp.maximum(a * a + b * b, 1e-12))
+    xy = state.kf_xy[kf1]  # [N, 2]
+    lm_idx = state.kf_lm_idx[kf1]
+    has_lm = (lm_idx >= 0) & state.kf_kp_valid[kf1]
+    Lp = state.lm_pos.shape[0]
+    z_lm = (
+        state.lm_pos[jnp.clip(lm_idx, 0, Lp - 1)] @ R1.T + t1
+    )[:, 2]  # [N]
+    d_perp = jnp.abs(
+        a[:, None] * xy[None, :, 0] + b[:, None] * xy[None, :, 1] + c[:, None]
+    ) / nrm[:, None]  # [ML, N]
+    seg_len = jnp.maximum(
+        jnp.linalg.norm(seg1[:, 2:4] - seg1[:, 0:2], axis=-1), 1e-6
+    )
+    ux = (seg1[:, 2] - seg1[:, 0]) / seg_len
+    uy = (seg1[:, 3] - seg1[:, 1]) / seg_len
+    t_along = (
+        (xy[None, :, 0] - seg1[:, 0:1]) * ux[:, None]
+        + (xy[None, :, 1] - seg1[:, 1:2]) * uy[:, None]
+    )
+    frac = jnp.clip(t_along / seg_len[:, None], 0.0, 1.0)
+    on_seg = (
+        has_lm[None, :]
+        & (d_perp <= 6.0)
+        & (t_along >= -5.0)
+        & (t_along <= seg_len[:, None] + 5.0)
+        & (z_lm[None, :] > 1e-6)
+    )
+    z1_sel = (e1_sel @ R1.T + t1)[:, 2]
+    z2_sel = (e2_sel @ R1.T + t1)[:, 2]
+    z_line_at = z1_sel[:, None] + frac * (z2_sel - z1_sel)[:, None]
+    agree = on_seg & (
+        jnp.abs(z_lm[None, :] - z_line_at)
+        <= 0.35 * jnp.maximum(z_lm[None, :], 1e-6)
+    )
+    n_on = jnp.sum(on_seg, axis=1)
+    n_agree = jnp.sum(agree, axis=1)
+    # Where point evidence exists, the majority must agree; segments with
+    # no co-located points pass (no evidence either way).
+    depth_prior_ok = (n_on < 2) | (
+        n_agree.astype(jnp.float32) >= 0.5 * n_on.astype(jnp.float32)
+    )
+    good = good & depth_prior_ok
 
-    # Endpoint-consistency in view 2 (depth-sensitive): a segment nearly
-    # parallel to the baseline has an ill-conditioned plane intersection
-    # that the infinite-line residual cannot detect — but wrong depth makes
-    # the trimmed endpoints slide along the line and miss kf2's endpoints.
-    def proj2(pw):
-        pc = pw @ R2.T + t2
-        z = jnp.maximum(pc[:, 2], 1e-6)
-        return jnp.stack(
-            [camera.fx * pc[:, 0] / z + camera.cx,
-             camera.fy * pc[:, 1] / z + camera.cy], axis=1
-        ), pc[:, 2]
-
-    p1_2, z1_2 = proj2(e1w)
-    p2_2, z2_2 = proj2(e2w)
-    q1 = seg2[:, 0:2]
-    q2 = seg2[:, 2:4]
-    d_direct = jnp.linalg.norm(p1_2 - q1, axis=1) + jnp.linalg.norm(p2_2 - q2, axis=1)
-    d_swap = jnp.linalg.norm(p1_2 - q2, axis=1) + jnp.linalg.norm(p2_2 - q1, axis=1)
-    ep_ok = (jnp.minimum(d_direct, d_swap) < 20.0) & (z1_2 > 0.05) & (z2_2 > 0.05)
-
-    good = ok & tri_ok & reproj_ok & depth_ok & ep_ok
     order = jnp.cumsum(good.astype(jnp.int32)) - 1
     slots = base_slot + order
     safe = jnp.where(good, slots, L2)
 
     state = state._replace(
-        ln_pluck=state.ln_pluck.at[safe].set(pl_w, mode="drop"),
+        ln_pluck=state.ln_pluck.at[safe].set(pl_sel, mode="drop"),
         ln_endpoints=state.ln_endpoints.at[safe].set(
-            jnp.concatenate([e1w, e2w], axis=-1), mode="drop"
+            jnp.concatenate([e1_sel, e2_sel], axis=-1), mode="drop"
         ),
         ln_desc=state.ln_desc.at[safe].set(state.kf_seg_desc[kf1], mode="drop"),
         ln_valid=state.ln_valid.at[safe].set(good, mode="drop"),

@@ -40,7 +40,11 @@ from structure_plp_slam_tpu.ops import fast as fast_ops
 
 NUM_BANDS = 9
 NUM_SAMPLES = 16
-DESC_DIM = NUM_BANDS * 2
+# Per band: mean + std of (g_parallel, g_perp) like the reference LBD's
+# 8-stat bands (binary_descriptor_custom.cpp), plus a band-intensity
+# context term that disambiguates parallel lines with identical edge
+# profiles but different surroundings.
+DESC_DIM = NUM_BANDS * 5
 
 
 def sobel_gradients(img):
@@ -94,21 +98,22 @@ def detect_line_segments(
     pgy = gy[iy, ix]
     pmag = jnp.maximum(mag[iy, ix], 1e-6)
 
-    # Hypotheses: random pairs of edge points.
-    k1, k2 = jax.random.split(key)
-    w = valid_p.astype(jnp.float32)
-    w = w / jnp.maximum(jnp.sum(w), 1.0)
-    ia = jax.random.choice(k1, num_points, (num_hypotheses,), p=w)
-    ib = jax.random.choice(k2, num_points, (num_hypotheses,), p=w)
+    # Hypotheses: every strong edge point proposes the line through itself
+    # perpendicular to its own gradient (the LSD principle — level lines
+    # are orthogonal to the gradient). DETERMINISTIC, unlike random pair
+    # sampling: any single edge point on a physical line regenerates that
+    # line, so detection is repeatable frame to frame — which the map-line
+    # re-observation bookkeeping (and culling) depends on. ``key`` is kept
+    # for API stability but no longer drives the hypotheses.
+    del key
+    order = jnp.argsort(jnp.where(valid_p, -resp, jnp.inf))
+    ia = order[:num_hypotheses]
     ax, ay = px[ia], py[ia]
-    bx, by = px[ib], py[ib]
-    dx = bx - ax
-    dy = by - ay
-    length = jnp.sqrt(dx * dx + dy * dy)
-    ok_h = (length >= min_length) & valid_p[ia] & valid_p[ib]
-    inv_len = 1.0 / jnp.maximum(length, 1e-6)
-    dirx, diry = dx * inv_len, dy * inv_len
-    nx, ny = -diry, dirx  # unit normal
+    ok_h = valid_p[ia]
+    hgx, hgy = pgx[ia], pgy[ia]
+    hmag = jnp.maximum(jnp.sqrt(hgx * hgx + hgy * hgy), 1e-6)
+    nx, ny = hgx / hmag, hgy / hmag  # unit normal = gradient direction
+    dirx, diry = -ny, nx
 
     # Point-line distances [S, P] and orientation gating.
     dist = jnp.abs(
@@ -177,8 +182,12 @@ def line_band_descriptors(img, seg, valid):
     """LBD-flavored band-gradient descriptors ``[M, DESC_DIM]`` (unit L2).
 
     For each segment: NUM_SAMPLES points along it x NUM_BANDS offsets along
-    the normal; accumulate per-band means of gradient components rotated
-    into the line frame (g_parallel, g_perp).
+    the normal; per band, mean AND std of gradient components rotated into
+    the line frame (the reference LBD's band statistics,
+    feature/line_descriptor/binary_descriptor_custom.cpp), plus the
+    band-relative mean intensity — edge-profile statistics alone cannot
+    tell apart parallel lines of the same polarity; the intensity context
+    of the flanking bands can.
     """
     H, W = img.shape
     gx, gy = sobel_gradients(img)
@@ -210,9 +219,21 @@ def line_band_descriptors(img, seg, valid):
     sgy = gy[yi, xi]
     g_par = sgx * dirx[:, None, None] + sgy * diry[:, None, None]
     g_per = sgx * nx[:, None, None] + sgy * ny[:, None, None]
+    inten = img[yi, xi]  # [M, T, B]
+    # Band-relative intensity: invariant to global brightness, keeps the
+    # cross-band contrast pattern.
+    band_mean = jnp.mean(inten, axis=1)  # [M, B]
+    band_rel = band_mean - jnp.mean(band_mean, axis=1, keepdims=True)
     feat = jnp.concatenate(
-        [jnp.mean(g_par, axis=1), jnp.mean(g_per, axis=1)], axis=1
-    )  # [M, 2B]
+        [
+            jnp.mean(g_par, axis=1),
+            jnp.mean(g_per, axis=1),
+            jnp.std(g_par, axis=1),
+            jnp.std(g_per, axis=1),
+            band_rel * 0.5,  # balance scale vs gradient stats
+        ],
+        axis=1,
+    )  # [M, 5B]
     n = jnp.linalg.norm(feat, axis=1, keepdims=True)
     feat = feat / jnp.where(n < 1e-6, 1.0, n)
     return jnp.where(valid[:, None], feat, 0.0)

@@ -21,9 +21,9 @@ import os
 import time
 
 
-def _common(sub):
+def _common(sub, need_dir: bool = True):
     sub.add_argument("-c", "--config", required=True, help="YAML config")
-    sub.add_argument("-d", "--data-dir", required=True)
+    sub.add_argument("-d", "--data-dir", required=need_dir)
     sub.add_argument("--frame-skip", type=int, default=1)
     sub.add_argument("--max-frames", type=int, default=0)
     sub.add_argument("--eval-log", action="store_true")
@@ -48,6 +48,14 @@ def main(argv=None):
     sp = ap.add_subparsers(dest="cmd", required=True)
     for name in ("tum_rgbd", "euroc", "kitti", "images"):
         _common(sp.add_parser(name))
+    # Video-file / live-camera monocular drivers (reference:
+    # example/run_video_slam.cc, run_camera_slam.cc).
+    video = sp.add_parser("video")
+    _common(video, need_dir=False)
+    video.add_argument("--video", required=True, help="video file path")
+    camera = sp.add_parser("camera")
+    _common(camera, need_dir=False)
+    camera.add_argument("--cam-index", type=int, default=0)
     args = ap.parse_args(argv)
 
     from structure_plp_slam_tpu.config import load_config
@@ -56,6 +64,8 @@ def main(argv=None):
     from structure_plp_slam_tpu.camera import CameraSetup
 
     cfg = load_config(args.config)
+    if args.cmd in ("video", "camera"):
+        return _run_stream(args, cfg)
     if args.cmd == "tum_rgbd":
         frames = datasets.load_tum_rgbd(args.data_dir)
     elif args.cmd == "euroc":
@@ -84,6 +94,7 @@ def main(argv=None):
         frames,
         depth=cfg.camera.setup is CameraSetup.RGBD,
         stereo=any(r.right_img_path for r in frames[:1]),
+        depth_factor=cfg.depthmap_factor,
     )
     for rec, img, depth, right, mask in reader:
         t0 = time.perf_counter()
@@ -116,6 +127,75 @@ def main(argv=None):
                 "landmarks": slam.num_landmarks,
                 "median_track_time_s": round(med, 4),
                 "mean_track_time_s": round(mean, 4),
+            }
+        )
+    )
+
+
+def _run_stream(args, cfg):
+    """Video-file / live-camera monocular loop (reference:
+    example/run_video_slam.cc:60-150, run_camera_slam.cc)."""
+    import numpy as np
+
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover
+        raise SystemExit("video/camera drivers require OpenCV (cv2)") from e
+
+    from structure_plp_slam_tpu.system import System
+
+    cap = cv2.VideoCapture(
+        args.video if args.cmd == "video" else args.cam_index
+    )
+    if not cap.isOpened():
+        raise SystemExit("could not open video source")
+    fps = cap.get(cv2.CAP_PROP_FPS) or cfg.camera.fps or 30.0
+
+    slam = System(
+        cfg, max_keyframes=args.max_keyframes, max_landmarks=args.max_landmarks,
+        with_lines=args.with_lines,
+    )
+    if args.map_db_in:
+        slam.load_map_database(args.map_db_in)
+        slam.disable_mapping_module()
+        slam.startup(need_initialize=False)
+    else:
+        slam.startup()
+    track_times = []
+    idx = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx % args.frame_skip == 0:
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.float32)
+            ts = (
+                idx / fps if args.cmd == "video" else time.time()
+            )
+            t0 = time.perf_counter()
+            slam.feed_monocular_frame(gray, ts)
+            track_times.append(time.perf_counter() - t0)
+        idx += 1
+        if args.max_frames and idx >= args.max_frames:
+            break
+    cap.release()
+    slam.shutdown()
+    if args.map_db_out:
+        slam.save_map_database(args.map_db_out)
+    slam.save_frame_trajectory(args.frame_traj, fmt=args.traj_format)
+    slam.save_keyframe_trajectory(args.keyframe_traj, fmt=args.traj_format)
+    if args.eval_log:
+        with open("track_times.txt", "w") as f:
+            for t in track_times:
+                f.write(f"{t:.6f}\n")
+    med = float(np.median(track_times)) if track_times else 0.0
+    print(
+        json.dumps(
+            {
+                "frames": idx,
+                "keyframes": slam.num_keyframes,
+                "landmarks": slam.num_landmarks,
+                "median_track_time_s": round(med, 4),
             }
         )
     )

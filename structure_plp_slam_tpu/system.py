@@ -296,6 +296,9 @@ class System:
                 R_res, t_res = R2, t2
                 seg_lines = jnp.where(line_inl, seg_lines, -1)
             self._seg_line_idx = seg_lines
+            self.state = line_mapper.update_line_stats(
+                self.camera, self.state, seg_lines, R_res, t_res
+            )
             res = res._replace(R=R_res, t=t_res)
 
         # Motion model update.
@@ -515,17 +518,62 @@ class System:
                     self.camera, self.state, slot, self.next_line
                 )
                 self.next_line += int(n_depth)
-            if self.next_kf >= 2 and self.next_line < (
-                self.state.ln_pluck.shape[0] - self.frontend.max_lines
+                # Point-anchored lines: the primary monocular source (the
+                # point map IS the depth map); also tops up metric setups
+                # where the depth map had holes.
+                self.state, n_pts = line_mapper.lines_from_points(
+                    self.camera, self.state, slot, self.next_line
+                )
+                self.next_line += int(n_pts)
+            # Two-view plane-intersection fallback for leftover segments.
+            # Metric setups only: without depth or point anchors the pair
+            # geometry cannot reject aliased parallel segments (clipped
+            # verticals especially), so for monocular the point-anchored
+            # path above is the sole line source.
+            if (
+                self.camera.setup is not CameraSetup.MONOCULAR
+                and self.next_kf >= 2
+                and self.next_line
+                < (self.state.ln_pluck.shape[0] - self.frontend.max_lines)
             ):
+                # Several covisible neighbors, widest baseline first —
+                # nearest keyframes give ill-conditioned plane
+                # intersections (reference iterates top covisibilities,
+                # mapping_module.cc:359-418).
                 W = np.array(ms.covisibility_matrix(self.state)[slot])
                 W[slot] = 0
-                nb = int(np.argmax(W))
-                if W[nb] >= 15:
+                nbs = np.argsort(-W)[:6]
+                C_slot = self._kf_center(slot)
+                # Two back-projected planes intersect reliably only with
+                # real parallax: require baseline >= 3% of scene depth
+                # (the line analog of ORB-SLAM2's baseline/median-depth
+                # triangulation gate; plane intersection is far more
+                # noise-sensitive than point DLT).
+                min_base = 0.03 * self._map_scale(slot)
+                nbs = sorted(
+                    (
+                        int(nb)
+                        for nb in nbs
+                        if W[nb] >= 15
+                        and np.linalg.norm(self._kf_center(nb) - C_slot)
+                        >= min_base
+                    ),
+                    key=lambda nb: -np.linalg.norm(self._kf_center(nb) - C_slot),
+                )[:3]
+                for nb in nbs:
+                    if self.next_line >= (
+                        self.state.ln_pluck.shape[0] - self.frontend.max_lines
+                    ):
+                        break
                     self.state, n_new = line_mapper.triangulate_lines_pair(
                         self.camera, self.state, slot, nb, self.next_line
                     )
                     self.next_line += int(n_new)
+            if self.next_line > 0:
+                # Re-observation is the real line filter: creation is
+                # permissive, unsupported lines die here (reference:
+                # local_map_cleaner.cc:133 line culling).
+                self.state, _ = line_mapper.cull_lines(self.state, slot)
 
         # Fuse duplicates with the local map.
         kf_mask = jnp.zeros((self.max_keyframes,), bool).at[slot].set(True)
@@ -623,6 +671,11 @@ class System:
 
     def _invalidate_map_cache(self):
         self._ind_cache = None
+
+    def _kf_center(self, kf: int) -> np.ndarray:
+        """World-frame camera center of keyframe ``kf``."""
+        pose = np.asarray(self.state.kf_pose[kf])
+        return -pose[:, :3].T @ pose[:, 3]
 
     # ------------------------------------------------------------------
     def _map_scale(self, kf: int) -> float:

@@ -30,10 +30,17 @@ def make_texture(rng, size=768, grid: bool = False):
         s = rng.integers(4, 14)
         tex[cy : cy + s, cx : cx + s] = rng.uniform(0, 255)
     if grid:
-        # Dark grid lines -> real 3D line structure on the plane.
-        for p in range(64, size, 128):
-            tex[p : p + 4, :] = 10.0
-            tex[:, p : p + 4] = 10.0
+        # Dark lines -> real 3D line structure on the plane. Irregular
+        # spacing and varying thickness/intensity keep the lines
+        # individually distinguishable (a perfectly regular grid is
+        # pathologically aliased for ANY line descriptor).
+        g = np.random.default_rng(7)
+        pos = np.cumsum(g.integers(70, 190, size=12))
+        for i, p in enumerate(pos[pos < size - 8]):
+            w = 3 + (i % 3)
+            tex[p : p + w, :] = 5.0 + 12.0 * (i % 4)
+            q = int(pos[::-1][i % len(pos)] * 0.83) % (size - 8)
+            tex[:, q : q + w] = 5.0 + 12.0 * ((i + 2) % 4)
     return tex
 
 
