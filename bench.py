@@ -78,7 +78,7 @@ def main(breakdown: bool = False):
 
     ind = ms.observation_indicator(state)
 
-    def step(img):
+    def step(img, R, t, last):
         feats = fe.mono(img)
         return tracker.track_frame(
             cam, state, feats, R, t, last, jnp.int32(0), fe.inv_sigma_sq,
@@ -86,13 +86,17 @@ def main(breakdown: bool = False):
         )
 
     # Warmup/compile.
-    out = step(imgs[0])
+    out = step(imgs[0], R, t, last)
     out.R.block_until_ready()
 
-    n_iter = 30
+    # Sequential WITH pose feedback: frame i consumes frame i-1's pose and
+    # associations, exactly like live tracking — no pipelining flattery.
+    n_iter = 60
+    Rc, tc, lastc = R, t, last
     t0 = time.perf_counter()
     for i in range(n_iter):
-        out = step(imgs[i % len(imgs)])
+        out = step(imgs[i % len(imgs)], Rc, tc, lastc)
+        Rc, tc, lastc = out.R, out.t, out.kp_lm
     out.R.block_until_ready()
     dt = time.perf_counter() - t0
     fps = n_iter / dt
@@ -101,6 +105,12 @@ def main(breakdown: bool = False):
         import jax
 
         def timeit(fn, *args, n=30):
+            # Amortized device time over a dispatch chain. Per-call
+            # blocking would measure the host<->device sync round trip
+            # (milliseconds of tunnel RTT in this environment), not the
+            # kernel; the chain amortizes that away. The headline fps
+            # below is the honest end-to-end number (sequential WITH
+            # pose feedback, one final sync).
             r = fn(*args)
             jax.tree_util.tree_leaves(r)[0].block_until_ready()
             t0 = time.perf_counter()
@@ -131,7 +141,7 @@ def main(breakdown: bool = False):
                 fe.obs_inv_sigma_sq(feats["level"]), last >= 0,
             )
         )
-        t_full = timeit(step, imgs[0])
+        t_full = timeit(lambda im: step(im, R, t, last), imgs[0])
         print(json.dumps({
             "frontend_ms": round(t_fe, 3),
             "dist_matmul_ms": round(t_mat, 3),
