@@ -49,8 +49,10 @@ def load_config(path: Optional[str] = None, yaml_text: Optional[str] = None) -> 
     ]
     d = yaml.safe_load("\n".join(lines)) or {}
 
-    model = CameraModel(_get(d, "Camera.model", "perspective"))
-    setup = CameraSetup(_get(d, "Camera.setup", "monocular"))
+    # The reference spells these "RGBD" / "monocular" / "perspective" etc.
+    # (config.cc:55-85); accept any case.
+    model = CameraModel(str(_get(d, "Camera.model", "perspective")).lower())
+    setup = CameraSetup(str(_get(d, "Camera.setup", "monocular")).lower())
     camera = Camera(
         name=_get(d, "Camera.name", "unnamed"),
         setup=setup,

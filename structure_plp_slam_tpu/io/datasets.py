@@ -141,7 +141,7 @@ class PrefetchReader:
     """
 
     def __init__(self, records, *, depth: bool = False, stereo: bool = False,
-                 workers: int = 2, depth_factor: float = 1.0):
+                 workers: int = 2):
         import queue
         import threading
 
@@ -156,9 +156,12 @@ class PrefetchReader:
                 if self._stop:
                     break
                 img = imread_gray(rec.img_path)
+                # Raw depth units; the frontend applies the camera's
+                # depthmap_factor exactly once (frontend.py rgbd path,
+                # mirroring the reference where only data::frame scales
+                # depth, frame.cc RGB-D ctor).
                 d = (
                     imread_depth(rec.depth_path).astype(np.float32)
-                    / depth_factor
                     if depth and rec.depth_path
                     else None
                 )

@@ -1,12 +1,15 @@
 """Self-contained interactive HTML map viewer.
 
 Stand-in for the reference's node.js + socket.io + three.js web viewer
-(viewer/app.js, viewer/public/): instead of a live server, the map
-publisher exports ONE static HTML file with the point cloud, line
-segments, plane patches, keyframe frusta and trajectory embedded as JSON,
-rendered by a dependency-free canvas orbiter (drag to rotate, wheel to
-zoom). Works offline in any browser — the natural viewing surface for a
-headless TPU environment.
+(viewer/app.js, viewer/public/). Two surfaces share one renderer:
+
+* ``export_html`` writes ONE static HTML file with the point cloud, line
+  segments, plane patches, keyframe frusta and trajectory embedded as
+  JSON, rendered by a dependency-free canvas orbiter (drag to rotate,
+  wheel to zoom). Works offline in any browser.
+* ``publish.live_server.LiveViewerServer`` serves the same page with a
+  polling loop fetching ``/map.json`` — the live-viewing role of the
+  reference's socket.io stream, with zero external dependencies.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ _TEMPLATE = """<!DOCTYPE html>
 <div id="hud">structure_plp_slam_tpu — drag: orbit, wheel: zoom, shift-drag: pan<br>{stats}</div>
 <canvas id="c"></canvas>
 <script>
-const DATA = {data};
+let DATA = {data};
 const cv = document.getElementById('c');
 const ctx = cv.getContext('2d');
 let W, H; function resize() {{ W = cv.width = innerWidth; H = cv.height = innerHeight; }}
@@ -93,13 +96,43 @@ onmousemove = e => {{
   drag = [e.clientX, e.clientY, drag[2]]; draw();
 }};
 onwheel = e => {{ dist *= Math.exp(e.deltaY * 0.001); draw(); }};
-draw();
+{live_js}draw();
 </script></body></html>
 """
 
 
-def export_html(path: str, map_publisher, max_points: int = 20000):
-    """Write the interactive viewer for the current map."""
+_LIVE_JS = """
+let inited = false;
+async function poll() {
+  try {
+    const r = await fetch('/map.json');
+    const d = await r.json();
+    DATA = d;
+    document.getElementById('hud').innerHTML =
+      'structure_plp_slam_tpu live &mdash; drag: orbit, wheel: zoom, ' +
+      'shift-drag: pan<br>' + d.stats;
+    if (!inited && d.points.length) {
+      cx = d.center[0]; cy = d.center[1]; cz = d.center[2];
+      dist = d.scale * 3.0; inited = true;
+    }
+    draw();
+  } catch (e) {}
+  setTimeout(poll, 500);
+}
+poll();
+"""
+
+_EMPTY_DATA = {
+    "points": [], "point_colors": [], "trajectory": [], "frusta": [],
+    "lines": [], "planes": [], "center": [0.0, 0.0, 0.0], "scale": 1.0,
+}
+
+
+def map_data(map_publisher, max_points: int = 20000) -> dict:
+    """Assemble the viewer's JSON payload (points, colors, trajectory,
+    frusta, line segments, plane quads, view framing) from the current
+    map-publisher snapshot. Shared by the static export and the live
+    ``/map.json`` endpoint."""
     pts = map_publisher.get_landmarks()
     cols = map_publisher.get_landmark_colors()
     if len(pts) > max_points:
@@ -155,9 +188,22 @@ def export_html(path: str, map_publisher, max_points: int = 20000):
         "center": np.round(center, 4).tolist(),
         "scale": scale,
     }
-    stats = (
+    data["stats"] = (
         f"{len(pts)} points · {len(kfs)} keyframes · {len(lines)} lines · "
         f"{len(planes)} planes"
     )
+    return data
+
+
+def render_html(data: dict, live: bool = False) -> str:
+    return _TEMPLATE.format(
+        data=json.dumps(data),
+        stats=data.get("stats", ""),
+        live_js=_LIVE_JS if live else "",
+    )
+
+
+def export_html(path: str, map_publisher, max_points: int = 20000):
+    """Write the interactive viewer for the current map."""
     with open(path, "w") as f:
-        f.write(_TEMPLATE.format(data=json.dumps(data), stats=stats))
+        f.write(render_html(map_data(map_publisher, max_points)))

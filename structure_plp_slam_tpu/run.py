@@ -41,6 +41,13 @@ def _common(sub, need_dir: bool = True):
     sub.add_argument("--map-db-in", default=None,
                      help="load map snapshot before the run (localization "
                           "mode: mapping disabled; reference run_image_localization)")
+    sub.add_argument("--viewer", nargs="?", type=int, const=0, default=None,
+                     metavar="PORT",
+                     help="serve the live web map viewer (reference: socket "
+                          "publisher + node viewer); PORT optional, 0=ephemeral")
+    sub.add_argument("--export-map-html", default=None, metavar="PATH",
+                     help="write the standalone interactive HTML map viewer "
+                          "after the run")
 
 
 def main(argv=None):
@@ -89,12 +96,13 @@ def main(argv=None):
         slam.startup(need_initialize=False)
     else:
         slam.startup()
+    if args.viewer is not None:
+        print(f"live viewer: http://localhost:{slam.start_live_viewer(args.viewer)}")
     track_times = []
     reader = datasets.PrefetchReader(
         frames,
         depth=cfg.camera.setup is CameraSetup.RGBD,
         stereo=any(r.right_img_path for r in frames[:1]),
-        depth_factor=cfg.depthmap_factor,
     )
     for rec, img, depth, right, mask in reader:
         t0 = time.perf_counter()
@@ -108,6 +116,8 @@ def main(argv=None):
     slam.shutdown()
     if args.map_db_out:
         slam.save_map_database(args.map_db_out)
+    if args.export_map_html:
+        slam.get_map_publisher().export_html(args.export_map_html)
 
     slam.save_frame_trajectory(args.frame_traj, fmt=args.traj_format)
     slam.save_keyframe_trajectory(args.keyframe_traj, fmt=args.traj_format)
@@ -161,6 +171,8 @@ def _run_stream(args, cfg):
         slam.startup(need_initialize=False)
     else:
         slam.startup()
+    if args.viewer is not None:
+        print(f"live viewer: http://localhost:{slam.start_live_viewer(args.viewer)}")
     track_times = []
     idx = 0
     while True:
@@ -182,6 +194,8 @@ def _run_stream(args, cfg):
     slam.shutdown()
     if args.map_db_out:
         slam.save_map_database(args.map_db_out)
+    if args.export_map_html:
+        slam.get_map_publisher().export_html(args.export_map_html)
     slam.save_frame_trajectory(args.frame_traj, fmt=args.traj_format)
     slam.save_keyframe_trajectory(args.keyframe_traj, fmt=args.traj_format)
     if args.eval_log:

@@ -137,6 +137,8 @@ class System:
         # Frame trajectory: (ts, ref_kf, rel_pose_cw_to_ref [3,4], lost).
         self._frame_stats: List[Tuple[float, int, np.ndarray, bool]] = []
         self._running = False
+        self._paused = False
+        self._terminate_requested = False
 
     # ------------------------------------------------------------------
     # Lifecycle (reference: system::startup/shutdown/reset).
@@ -197,6 +199,10 @@ class System:
         return k
 
     def _track(self, feats, ts: float) -> Optional[np.ndarray]:
+        if self._paused or self._terminate_requested or not self._running:
+            # Reference: a paused tracker discards fed frames until
+            # resume_tracker() (system.cc:482-528 pause protocol).
+            return None
         self.num_frames += 1
         if self.tracking_state is TrackerState.NOT_INITIALIZED:
             ok = self._initialize(feats, ts)
@@ -770,6 +776,27 @@ class System:
         self.tracking_state = TrackerState.LOST
         self._invalidate_map_cache()
 
+    # ------------------------------------------------------------------
+    # Pause / terminate protocol (reference: system.h:112-192 —
+    # pause_tracker/resume_tracker/request_terminate; the reference's
+    # pause_other_threads has no analog because mapping/loop closing run
+    # synchronously as jitted steps, not on background threads).
+    # ------------------------------------------------------------------
+    def pause_tracker(self):
+        self._paused = True
+
+    def resume_tracker(self):
+        self._paused = False
+
+    def tracker_is_paused(self) -> bool:
+        return self._paused
+
+    def request_terminate(self):
+        self._terminate_requested = True
+
+    def terminate_is_requested(self) -> bool:
+        return self._terminate_requested
+
     def disable_mapping_module(self):
         self.enable_mapping = False
 
@@ -835,6 +862,23 @@ class System:
                 use_bin_type=True,
             )
         )
+
+    def start_live_viewer(self, port: int = 0, max_points: int = 20000) -> int:
+        """Start the live HTTP map viewer (reference: socket_publisher +
+        node.js web viewer). Returns the bound port; open
+        ``http://localhost:<port>`` in a browser."""
+        from structure_plp_slam_tpu.publish.live_server import LiveViewerServer
+
+        self._live_viewer = LiveViewerServer(
+            self.map_publisher, port=port, max_points=max_points
+        )
+        return self._live_viewer.port
+
+    def stop_live_viewer(self):
+        srv = getattr(self, "_live_viewer", None)
+        if srv is not None:
+            srv.stop()
+            self._live_viewer = None
 
     def get_frame_publisher(self):
         return self.frame_publisher

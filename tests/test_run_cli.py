@@ -64,7 +64,7 @@ def _write_tum(tmp_path, rng, n=10):
 
 @pytest.mark.slow
 def test_tum_rgbd_driver(tmp_path, rng, capsys, monkeypatch):
-    _write_tum(tmp_path, rng)
+    poses = _write_tum(tmp_path, rng)
     cfg = tmp_path / "cfg.yaml"
     cfg.write_text(_YAML.format(setup="rgbd"))
     monkeypatch.chdir(tmp_path)
@@ -83,6 +83,16 @@ def test_tum_rgbd_driver(tmp_path, rng, capsys, monkeypatch):
     assert (tmp_path / "map.msg").stat().st_size > 1000
     traj = (tmp_path / "frame_trajectory.txt").read_text().strip().splitlines()
     assert len(traj) >= 8 and len(traj[0].split()) == 8  # TUM format
+    # ATE regression through the full CLI path (PNG depth round-trip +
+    # PrefetchReader + depthmap_factor): guards against depth-scaling
+    # bugs anywhere between disk and the frontend.
+    from structure_plp_slam_tpu.io import trajectory as traj_io
+
+    est = traj_io.load_tum(str(tmp_path / "frame_trajectory.txt"))
+    gt = [(float(i) / 30.0, np.concatenate([R, t[:, None]], 1).astype(np.float64))
+          for i, (R, t) in enumerate(poses)]
+    ate = traj_io.ate_rmse(est, gt, align_scale=False)
+    assert ate < 0.05, f"CLI ATE {ate}"
 
 
 @pytest.mark.slow
