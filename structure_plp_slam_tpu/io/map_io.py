@@ -33,18 +33,25 @@ def _unarr(d) -> np.ndarray:
 
 
 def save_map(path: str, state: ms.MapState, *, next_kf: int, next_lm: int,
+             next_line: int = 0, next_plane: int = 0,
              camera_name: str = "", camera=None):
-    doc = _build_doc(state, next_kf, next_lm, camera_name, camera)
+    doc = _build_doc(state, next_kf, next_lm, camera_name, camera,
+                     next_line=next_line, next_plane=next_plane)
     with open(path, "wb") as f:
         f.write(msgpack.packb(doc, use_bin_type=True))
 
 
-def _build_doc(state, next_kf, next_lm, camera_name="", camera=None):
+def _build_doc(state, next_kf, next_lm, camera_name="", camera=None, *,
+               next_line=0, next_plane=0):
     doc = {
         "version": _FORMAT_VERSION,
         "camera_name": camera_name,
         "keyframe_next_id": next_kf,
         "landmark_next_id": next_lm,
+        # Reference saves landmarks_line alongside points
+        # (map_database_io.cc:51-103); planes are ours beyond parity.
+        "line_next_id": next_line,
+        "plane_next_id": next_plane,
         "arrays": {name: _arr(getattr(state, name)) for name in state._fields},
     }
     if camera is not None:
@@ -62,14 +69,18 @@ def _build_doc(state, next_kf, next_lm, camera_name="", camera=None):
 
 
 def save_map_async(writer, state: ms.MapState, *, next_kf: int, next_lm: int,
+                   next_line: int = 0, next_plane: int = 0,
                    camera_name: str = "", camera=None):
     """Serialize + hand the blob to a native AsyncSnapshotWriter
     (checkpointing without stalling the tracking loop)."""
-    doc = _build_doc(state, next_kf, next_lm, camera_name, camera)
+    doc = _build_doc(state, next_kf, next_lm, camera_name, camera,
+                     next_line=next_line, next_plane=next_plane)
     writer.submit(msgpack.packb(doc, use_bin_type=True))
 
 
 def load_map(path: str) -> Tuple[ms.MapState, int, int]:
+    """Returns (state, next_kf, next_lm); line/plane counters via
+    ``load_counters``."""
     with open(path, "rb") as f:
         doc = msgpack.unpackb(f.read(), raw=False)
     if doc.get("version") != _FORMAT_VERSION:
@@ -77,6 +88,26 @@ def load_map(path: str) -> Tuple[ms.MapState, int, int]:
     arrays = {k: jnp.asarray(_unarr(v)) for k, v in doc["arrays"].items()}
     state = ms.MapState(**arrays)
     return state, int(doc["keyframe_next_id"]), int(doc["landmark_next_id"])
+
+
+def load_counters(path: str) -> dict:
+    """All id counters from a snapshot. Line/plane counters of snapshots
+    written before they were recorded fall back to the highest valid slot
+    + 1 (append-only slot discipline makes that an upper bound)."""
+    with open(path, "rb") as f:
+        doc = msgpack.unpackb(f.read(), raw=False)
+
+    def derived(mask_key):
+        m = _unarr(doc["arrays"][mask_key])
+        idx = np.where(m)[0]
+        return int(idx[-1]) + 1 if len(idx) else 0
+
+    return {
+        "next_kf": int(doc["keyframe_next_id"]),
+        "next_lm": int(doc["landmark_next_id"]),
+        "next_line": int(doc.get("line_next_id", derived("ln_valid"))),
+        "next_plane": int(doc.get("plane_next_id", derived("pl_valid"))),
+    }
 
 
 def load_cameras(path: str) -> dict:

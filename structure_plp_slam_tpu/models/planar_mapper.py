@@ -47,7 +47,7 @@ def label_keypoints(seg_mask, kp_xy, kp_valid):
     return jnp.where(kp_valid & consistent & (center > 0), center, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_instances",))
+@functools.partial(jax.jit, static_argnames=("max_instances", "coherent"))
 def detect_planes(
     state: ms.MapState,
     kf,
@@ -57,6 +57,7 @@ def detect_planes(
     scale,
     *,
     max_instances: int = MAX_INSTANCES,
+    coherent: bool = False,
 ):
     """Fit a plane per mask instance from the keyframe's landmarks.
 
@@ -64,6 +65,9 @@ def detect_planes(
     ``scale``: map scale estimate — the RANSAC threshold is
     0.02 * scale map units (the reference estimates scale from median
     keyframe depth / point norms, planar_mapping_module.cc:130-183).
+    ``coherent`` selects the spatial-coherence consensus
+    (plane_fit.plane_ransac_coherent — the GC-RANSAC role, reference
+    Threshold.use_graph_cut).
     Returns (state, num_created).
     """
     N = labels.shape[0]
@@ -79,11 +83,13 @@ def detect_planes(
 
     keys = jax.random.split(key, max_instances)
 
+    fit = (
+        plane_fit.plane_ransac_coherent if coherent else plane_fit.plane_ransac
+    )
+
     def per_instance(inst, k):
         sel = has_lm & unowned & (labels == inst)
-        coef, inl, n_inl = plane_fit.plane_ransac(
-            pts, sel, k, inlier_thr=thr
-        )
+        coef, inl, n_inl = fit(pts, sel, k, inlier_thr=thr)
         n_cand = jnp.sum(sel)
         good = (
             (n_inl >= MIN_INLIERS)

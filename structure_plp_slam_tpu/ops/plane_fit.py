@@ -76,3 +76,65 @@ def plane_ransac(points, valid, key, *, inlier_thr: float,
     dist2 = point_plane_distance(coef2[None], points[None])[0]
     inl2 = (dist2 <= inlier_thr) & valid
     return coef2, inl2, jnp.sum(inl2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "num_neighbors", "num_sweeps"),
+)
+def plane_ransac_coherent(points, valid, key, *, inlier_thr: float,
+                          num_hypotheses: int = 128, num_neighbors: int = 8,
+                          num_sweeps: int = 4, smoothness: float = 2.0):
+    """Spatially-coherent plane consensus: batched MSAC seed + mean-field
+    label smoothing over the k-NN graph.
+
+    The reference's GC-RANSAC (solve/GCRANSAC/GCRANSAC.h:50, used for
+    planes at planar_mapping_module.cc:1006-1156) minimizes
+    E = sum_i data(i) + w * sum_{i~j} [label_i != label_j] with an s-t
+    min-cut per local-optimization step — inherently sequential. This is
+    the TPU re-expression of the same energy: soft inlier labels
+    x in [0,1] relaxed by fixed-iteration mean-field sweeps
+    (sigmoid(unary + smoothness * neighbor-mean field)), alternating with
+    a weighted SVD refit — every sweep is dense batched linear algebra.
+    Spatial coherence does what the graph cut does: points surrounded by
+    inliers are pulled in across the threshold boundary, isolated
+    residual-lucky points are pushed out.
+
+    Returns (coef [4], inliers [N], num_inliers) like ``plane_ransac``.
+    """
+    N = points.shape[0]
+    coef0, inl0, _ = plane_ransac(
+        points, valid, key, inlier_thr=inlier_thr,
+        num_hypotheses=num_hypotheses,
+    )
+
+    # k-NN graph among valid candidates (3D Euclidean).
+    d2m = jnp.sum((points[:, None] - points[None]) ** 2, axis=-1)
+    big = jnp.float32(1e30)
+    d2m = jnp.where(valid[None] & valid[:, None], d2m, big)
+    d2m = d2m + jnp.eye(N) * big  # no self-edges
+    _, nbr = jax.lax.top_k(-d2m, num_neighbors)  # [N, K]
+    nbr_ok = jnp.take_along_axis(d2m, nbr, axis=1) < big
+
+    tau = 0.5 * inlier_thr
+
+    def sweep(carry, _):
+        coef, x = carry
+        dist = point_plane_distance(coef[None], points[None])[0]
+        unary = (inlier_thr - dist) / tau
+        field = jnp.sum(
+            jnp.where(nbr_ok, 2.0 * x[nbr] - 1.0, 0.0), axis=1
+        ) / jnp.maximum(jnp.sum(nbr_ok, axis=1), 1)
+        x = jax.nn.sigmoid(unary + smoothness * field)
+        x = jnp.where(valid, x, 0.0)
+        n, d = fit_plane_svd(points, x)
+        return (jnp.concatenate([n, jnp.array([d])]), x), None
+
+    (coef, x), _ = jax.lax.scan(
+        sweep, (coef0, inl0.astype(jnp.float32)), None, length=num_sweeps
+    )
+    dist = point_plane_distance(coef[None], points[None])[0]
+    # Accept by smoothed label, with a hard residual cap so coherence can
+    # recruit boundary points (<= 2*thr) but never gross outliers.
+    inl = (x > 0.5) & (dist <= 2.0 * inlier_thr) & valid
+    return coef, inl, jnp.sum(inl)

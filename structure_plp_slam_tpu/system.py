@@ -85,6 +85,10 @@ class System:
         self.with_lines = bool(
             with_lines or config.raw.get("Threshold.use_line_tracking", False)
         )
+        # Plane-consensus selection (reference: Threshold.use_graph_cut in
+        # planar_mapping_parameters.yaml, default true → GC-RANSAC; here
+        # the spatial-coherence mean-field consensus plays that role).
+        self.use_graph_cut = bool(config.raw.get("Threshold.use_graph_cut", True))
         self.frontend = frontend_mod.Frontend(
             config.camera, config.orb, pad_to=cap, with_lines=self.with_lines
         )
@@ -604,6 +608,7 @@ class System:
             self.state, n_pl = planar_mapper.detect_planes(
                 self.state, slot, labels, self.next_plane,
                 self._split_key(), jnp.float32(scale),
+                coherent=self.use_graph_cut,
             )
             self.next_plane += int(n_pl)
             self.state, _ = planar_mapper.merge_planes(
@@ -758,6 +763,7 @@ class System:
 
         map_io.save_map(
             path, self.state, next_kf=self.next_kf, next_lm=self.next_lm,
+            next_line=self.next_line, next_plane=self.next_plane,
             camera_name=self.camera.name, camera=self.camera,
         )
 
@@ -767,6 +773,9 @@ class System:
         from structure_plp_slam_tpu.io import map_io
 
         self.state, self.next_kf, self.next_lm = map_io.load_map(path)
+        counters = map_io.load_counters(path)
+        self.next_line = counters["next_line"]
+        self.next_plane = counters["next_plane"]
         self.max_keyframes = self.state.kf_pose.shape[0]
         self.max_landmarks = self.state.lm_pos.shape[0]
         # Rebuild the retrieval index from keyframe descriptors.
@@ -827,6 +836,7 @@ class System:
 
         map_io.save_map_async(
             w, self.state, next_kf=self.next_kf, next_lm=self.next_lm,
+            next_line=self.next_line, next_plane=self.next_plane,
             camera_name=self.camera.name, camera=self.camera,
         )
 

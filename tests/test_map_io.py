@@ -17,16 +17,43 @@ def test_snapshot_roundtrip(tmp_path):
     state = state._replace(
         lm_valid=state.lm_valid.at[:5].set(True),
         kf_valid=state.kf_valid.at[:2].set(True),
+        ln_valid=state.ln_valid.at[:3].set(True),
+        pl_valid=state.pl_valid.at[:1].set(True),
     )
     p = str(tmp_path / "map.msg")
-    map_io.save_map(p, state, next_kf=2, next_lm=5, camera_name="cam")
+    map_io.save_map(p, state, next_kf=2, next_lm=5, next_line=3, next_plane=1,
+                    camera_name="cam")
     state2, nkf, nlm = map_io.load_map(p)
     assert nkf == 2 and nlm == 5
+    counters = map_io.load_counters(p)
+    assert counters == {"next_kf": 2, "next_lm": 5, "next_line": 3,
+                        "next_plane": 1}
     for name in state._fields:
         np.testing.assert_array_equal(
             np.asarray(getattr(state, name)), np.asarray(getattr(state2, name)),
             err_msg=name,
         )
+
+
+def test_snapshot_counter_fallback(tmp_path):
+    # Snapshots written without line/plane counters (or by callers that
+    # don't track them) fall back to highest-valid-slot + 1 on load.
+    state = ms.create(8, 64, 256)
+    state = state._replace(
+        ln_valid=state.ln_valid.at[4].set(True),
+        pl_valid=state.pl_valid.at[2].set(True),
+    )
+    p = str(tmp_path / "map.msg")
+    map_io.save_map(p, state, next_kf=0, next_lm=0)
+    import msgpack
+
+    with open(p, "rb") as f:
+        doc = msgpack.unpackb(f.read(), raw=False)
+    del doc["line_next_id"], doc["plane_next_id"]
+    with open(p, "wb") as f:
+        f.write(msgpack.packb(doc, use_bin_type=True))
+    counters = map_io.load_counters(p)
+    assert counters["next_line"] == 5 and counters["next_plane"] == 3
 
 
 @pytest.mark.slow

@@ -37,6 +37,69 @@ def test_plane_ransac_recovers_plane(rng):
     np.testing.assert_allclose(coef[3], d_gt, atol=0.05)
 
 
+def test_plane_ransac_coherent_recovers_plane(rng):
+    # Same setup as the plain-RANSAC test: the coherent consensus must fit
+    # at least as well.
+    n_gt = np.array([0.2, -0.3, 0.93])
+    n_gt /= np.linalg.norm(n_gt)
+    d_gt = -2.0
+    basis = np.linalg.svd(n_gt[None])[2][1:]
+    uv = rng.uniform(-3, 3, (200, 2))
+    pts = (-d_gt) * n_gt + uv @ basis + rng.normal(scale=0.01, size=(200, 3))
+    out = rng.normal(scale=2.0, size=(60, 3)) + [0, 0, 2.0]
+    allp = np.concatenate([pts, out]).astype(np.float32)
+    coef, inl, n_inl = plane_fit.plane_ransac_coherent(
+        jnp.asarray(allp), jnp.ones((260,), bool), jax.random.PRNGKey(0),
+        inlier_thr=0.04,
+    )
+    coef = np.asarray(coef)
+    if coef[:3] @ n_gt < 0:
+        coef = -coef
+    assert int(n_inl) > 150
+    np.testing.assert_allclose(coef[:3], n_gt, atol=0.02)
+    np.testing.assert_allclose(coef[3], d_gt, atol=0.05)
+
+
+def test_plane_ransac_coherent_spatial_coherence(rng):
+    """The mean-field smoothing must do the graph cut's job: recruit a
+    boundary point surrounded by inliers, reject a residual-lucky point
+    embedded in an outlier cluster."""
+    thr = 0.04
+    # z=0 plane cluster around the origin.
+    plane_pts = np.concatenate(
+        [rng.uniform(-1, 1, (150, 2)), rng.normal(scale=0.005, size=(150, 1))],
+        axis=1,
+    )
+    # Boundary point: 1.5*thr off-plane, spatially inside the cluster.
+    boundary = np.array([[0.1, 0.1, 1.5 * thr]])
+    # Outlier cluster far away in x, spread in z — except one member that
+    # happens to lie within the residual threshold.
+    out_cluster = np.concatenate(
+        [10.0 + rng.uniform(-0.3, 0.3, (40, 2)),
+         rng.uniform(0.5, 2.0, (40, 1))], axis=1,
+    )
+    lucky = np.array([[10.0, 10.0, 0.5 * thr]])
+    allp = np.concatenate([plane_pts, boundary, out_cluster, lucky]).astype(
+        np.float32
+    )
+    coef, inl, _ = plane_fit.plane_ransac_coherent(
+        jnp.asarray(allp), jnp.ones((len(allp),), bool),
+        jax.random.PRNGKey(1), inlier_thr=thr,
+    )
+    inl = np.asarray(inl)
+    assert inl[:150].mean() > 0.9          # plane cluster kept
+    assert inl[150]                        # boundary point recruited
+    assert not inl[151:191].any()          # outlier cluster rejected
+    assert not inl[191]                    # residual-lucky point rejected
+    # Plain MSAC keeps the lucky point (no spatial term) — the coherent
+    # variant is strictly the differentiator here.
+    _, inl_plain, _ = plane_fit.plane_ransac(
+        jnp.asarray(allp), jnp.ones((len(allp),), bool),
+        jax.random.PRNGKey(1), inlier_thr=thr,
+    )
+    assert np.asarray(inl_plain)[191]
+
+
 def test_fit_plane_svd_weighted(rng):
     pts = np.zeros((50, 3), np.float32)
     pts[:, :2] = rng.uniform(-1, 1, (50, 2))
