@@ -96,6 +96,45 @@ def test_tum_rgbd_driver(tmp_path, rng, capsys, monkeypatch):
 
 
 @pytest.mark.slow
+def test_tum_rgbd_driver_with_masks(tmp_path, rng, capsys, monkeypatch):
+    """--mask-dir drives the plane pipeline from the CLI (reference:
+    run_slam_planeSeg.cc drivers)."""
+    cam = _camera(CameraSetup.RGBD)
+    tex = synthetic_scene.make_texture(rng)
+    poses = synthetic_scene.trajectory(8, step=0.06)
+    os.makedirs(tmp_path / "rgb")
+    os.makedirs(tmp_path / "depth")
+    os.makedirs(tmp_path / "mask")
+    rgb_lines, depth_lines = [], []
+    for i, (R, t) in enumerate(poses):
+        img, depth = synthetic_scene.render(cam, tex, R, t)
+        cv2.imwrite(str(tmp_path / "rgb" / f"{i}.png"), img.astype(np.uint8))
+        cv2.imwrite(
+            str(tmp_path / "depth" / f"{i}.png"),
+            (depth * 5000.0).astype(np.uint16),
+        )
+        cv2.imwrite(
+            str(tmp_path / "mask" / f"{i}.png"),
+            np.where(depth < 4.5, 1, 2).astype(np.uint8),
+        )
+        ts = i / 30.0
+        rgb_lines.append(f"{ts:.6f} rgb/{i}.png")
+        depth_lines.append(f"{ts:.6f} depth/{i}.png")
+    (tmp_path / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (tmp_path / "depth.txt").write_text("\n".join(depth_lines) + "\n")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(_YAML.format(setup="rgbd"))
+    monkeypatch.chdir(tmp_path)
+    run_mod.main([
+        "tum_rgbd", "-c", str(cfg), "-d", str(tmp_path),
+        "--mask-dir", str(tmp_path / "mask"),
+        "--max-keyframes", "32", "--max-landmarks", "8192",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["planes"] >= 1
+
+
+@pytest.mark.slow
 def test_video_driver(tmp_path, rng, capsys, monkeypatch):
     cam = _camera(CameraSetup.MONOCULAR)
     tex = synthetic_scene.make_texture(rng)
