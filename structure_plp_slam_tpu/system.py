@@ -153,7 +153,19 @@ class System:
             self.tracking_state = TrackerState.LOST
 
     def shutdown(self):
+        """Stop feeding and tear down background surfaces (reference:
+        system::shutdown joins the mapping/loop threads; here the
+        equivalents are the viewer/publisher/snapshot worker threads)."""
         self._running = False
+        self.stop_live_viewer()
+        pub = getattr(self, "_native_pub", None)
+        if pub is not None:
+            pub.close()
+            self._native_pub = None
+        writer = getattr(self, "_autosave", None)
+        if writer is not None and hasattr(writer, "close"):
+            writer.close()
+            self._autosave = None
 
     def reset(self):
         self.state = ms.create(

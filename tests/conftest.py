@@ -16,6 +16,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: the suite is compile-dominated (every
+# process re-jits the tracker/mapper/BA for each camera+shape config);
+# caching compiled executables on disk cuts repeat runs to a fraction.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/jax_compile_cache_plpslam"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without the knobs: run uncached
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
