@@ -80,5 +80,9 @@ def load_config(path: Optional[str] = None, yaml_text: Optional[str] = None) -> 
         num_levels=int(_get(d, "Feature.num_levels", 8)),
         ini_fast_thr=float(_get(d, "Feature.ini_fast_threshold", 20)),
         min_fast_thr=float(_get(d, "Feature.min_fast_threshold", 7)),
+        mask_rects=tuple(
+            tuple(float(v) for v in rect)
+            for rect in (_get(d, "Feature.mask_rectangles", []) or [])
+        ),
     )
     return Config(camera=camera, orb=orb, raw=d)

@@ -51,6 +51,19 @@ class Frontend:
         # Per-level information weights: inv_sigma_sq = 1 / scale^2
         # (reference: orb_params.h inv_level_sigma_sq).
         self.inv_sigma_sq = 1.0 / (self.scale_factors**2)
+        # Static exclusion mask from the config's normalized rectangles
+        # (reference: orb_extractor::create_rectangle_mask,
+        # orb_extractor.cc:297-314; value 0 = excluded).
+        if orb_params.mask_rects:
+            import numpy as np
+
+            m = np.ones((camera.rows, camera.cols), bool)
+            for x0, x1, y0, y1 in orb_params.mask_rects:
+                m[int(round(camera.rows * y0)):int(round(camera.rows * y1)),
+                  int(round(camera.cols * x0)):int(round(camera.cols * x1))] = False
+            self._rect_mask = jnp.asarray(m)
+        else:
+            self._rect_mask = None
         self._mono = jax.jit(self._mono_impl)
         self._rgbd = jax.jit(self._rgbd_impl)
         self._stereo = jax.jit(self._stereo_impl)
@@ -102,28 +115,40 @@ class Frontend:
             out["seg_depth"] = jnp.zeros((seg.shape[0], 2), jnp.float32)
         return out
 
-    def mono(self, img_gray, key=None):
+    def _eff_mask(self, mask):
+        """Combine the per-frame mask image (reference: feed_*_frame's
+        ``mask`` argument, 0 = excluded) with the static rectangle mask."""
+        if mask is None:
+            return self._rect_mask
+        m = jnp.asarray(mask) != 0
+        return m if self._rect_mask is None else (m & self._rect_mask)
+
+    def mono(self, img_gray, key=None, mask=None):
         """uint8/f32 [H, W] grayscale -> feature SoA (mono)."""
-        out = self._mono(jnp.asarray(img_gray))
+        out = self._mono(jnp.asarray(img_gray), self._eff_mask(mask))
         if self.with_lines:
             out = self._lines(img_gray, dict(out), key)
         return out
 
-    def rgbd(self, img_gray, depth, key=None):
+    def rgbd(self, img_gray, depth, key=None, mask=None):
         """Adds per-keypoint depth sampled from the registered depth map and
         a virtual right-x coordinate (reference: frame.cc RGBD ctor
         computes x_right = x - fx*baseline/depth)."""
-        out = self._rgbd(jnp.asarray(img_gray), jnp.asarray(depth))
+        out = self._rgbd(
+            jnp.asarray(img_gray), jnp.asarray(depth), self._eff_mask(mask)
+        )
         if self.with_lines:
             out = self._lines(img_gray, dict(out), key, depth_map=depth)
         return out
 
-    def stereo(self, img_left, img_right):
+    def stereo(self, img_left, img_right, mask=None):
         """Rectified stereo pair: left features + disparity-derived depth
         (reference: frame.cc stereo ctor runs L/R ORB on two std::threads
         then match::stereo; here both extractions are independent jit
         subgraphs XLA schedules concurrently)."""
-        return self._stereo(jnp.asarray(img_left), jnp.asarray(img_right))
+        return self._stereo(
+            jnp.asarray(img_left), jnp.asarray(img_right), self._eff_mask(mask)
+        )
 
     # ------------------------------------------------------------------
     def _pad(self, arr, fill=0):
@@ -133,9 +158,20 @@ class Frontend:
         pad_width = [(0, self.pad_to - n)] + [(0, 0)] * (arr.ndim - 1)
         return jnp.pad(arr, pad_width, constant_values=fill)
 
-    def _base(self, img):
+    def _base(self, img, mask=None):
         gray = image_ops.to_grayscale(img)
         feats = self.extractor(gray)
+        valid = feats["valid"]
+        if mask is not None:
+            # Keypoints in excluded regions are dropped on their raw
+            # (distorted) coords, the coords detection ran on. The
+            # reference masks FAST detection itself; masking validity is
+            # equivalent downstream (a masked cell's budget is small).
+            xi = jnp.clip(feats["xy"][:, 0].astype(jnp.int32), 0,
+                          self.camera.cols - 1)
+            yi = jnp.clip(feats["xy"][:, 1].astype(jnp.int32), 0,
+                          self.camera.rows - 1)
+            valid = valid & mask[yi, xi]
         xy_und = cam_base.undistort_keypoints(self.camera, feats["xy"])
         bearing = cam_base.bearings(self.camera, xy_und)
         return {
@@ -144,22 +180,22 @@ class Frontend:
             "angle": self._pad(feats["angle"]),
             "desc": self._pad(feats["desc"]),
             "bearing": self._pad(bearing),
-            "valid": self._pad(feats["valid"]),
+            "valid": self._pad(valid),
             "response": self._pad(feats["response"]),
             # raw (distorted) coords for depth-map sampling
             "_xy_raw": self._pad(feats["xy"]),
         }
 
-    def _mono_impl(self, img):
-        out = self._base(img)
+    def _mono_impl(self, img, mask=None):
+        out = self._base(img, mask)
         n = self.pad_to
         out["xr"] = jnp.full((n,), -1.0, jnp.float32)
         out["depth"] = jnp.zeros((n,), jnp.float32)
         out.pop("_xy_raw")
         return out
 
-    def _rgbd_impl(self, img, depth_map):
-        out = self._base(img)
+    def _rgbd_impl(self, img, depth_map, mask=None):
+        out = self._base(img, mask)
         cam = self.camera
         xy = out.pop("_xy_raw")
         xs = jnp.clip(xy[:, 0].astype(jnp.int32), 0, cam.cols - 1)
@@ -174,10 +210,10 @@ class Frontend:
         out["xr"] = xr
         return out
 
-    def _stereo_impl(self, imgL, imgR):
+    def _stereo_impl(self, imgL, imgR, mask=None):
         from structure_plp_slam_tpu.ops import matching, stereo as stereo_ops
 
-        out = self._base(imgL)
+        out = self._base(imgL, mask)
         grayL = image_ops.to_grayscale(imgL)
         grayR = image_ops.to_grayscale(imgR)
         featsR = self.extractor(grayR)

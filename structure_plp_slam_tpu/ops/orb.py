@@ -142,6 +142,10 @@ class OrbParams:
     num_levels: int = 8
     ini_fast_thr: float = 20.0
     min_fast_thr: float = 7.0
+    # Normalized exclusion rectangles (x_min, x_max, y_min, y_max), the
+    # reference's Feature.mask_rectangles / orb_extractor rect_mask_
+    # (orb_extractor.cc:297-314): keypoints inside are discarded.
+    mask_rects: tuple = ()
 
     def scale_factors(self) -> np.ndarray:
         return self.scale_factor ** np.arange(self.num_levels, dtype=np.float64)

@@ -185,26 +185,33 @@ class System:
     # ------------------------------------------------------------------
     # Frame feeding (reference: system::feed_*_frame).
     # ------------------------------------------------------------------
-    def feed_monocular_frame(self, img, timestamp: float, seg_mask=None):
-        """``seg_mask``: optional [H, W] instance-id image (PlaneRecNet
-        output; reference: the *_with_SegMask overloads, system.h:140-162).
+    def feed_monocular_frame(self, img, timestamp: float, mask=None,
+                             seg_mask=None):
+        """``mask``: optional [H, W] extraction mask, 0 = ignore region
+        (reference: feed_*_frame's mask argument, system.h:140-162).
+        ``seg_mask``: optional [H, W] instance-id image (PlaneRecNet
+        output; reference: the *_with_SegMask overloads).
         """
-        feats = self.frontend.mono(img, self._split_key() if self.with_lines else None)
+        feats = self.frontend.mono(
+            img, self._split_key() if self.with_lines else None, mask=mask
+        )
         self._cur_seg_mask = seg_mask
         self._last_image = np.asarray(img)
         return self._track(feats, timestamp)
 
-    def feed_RGBD_frame(self, img, depthmap, timestamp: float, seg_mask=None):
+    def feed_RGBD_frame(self, img, depthmap, timestamp: float, mask=None,
+                        seg_mask=None):
         feats = self.frontend.rgbd(
-            img, depthmap, self._split_key() if self.with_lines else None
+            img, depthmap, self._split_key() if self.with_lines else None,
+            mask=mask,
         )
         self._cur_seg_mask = seg_mask
         self._last_image = np.asarray(img)
         return self._track(feats, timestamp)
 
     def feed_stereo_frame(self, img_left, img_right, timestamp: float,
-                          seg_mask=None):
-        feats = self.frontend.stereo(img_left, img_right)
+                          mask=None, seg_mask=None):
+        feats = self.frontend.stereo(img_left, img_right, mask=mask)
         self._cur_seg_mask = seg_mask
         self._last_image = np.asarray(img_left)
         return self._track(feats, timestamp)

@@ -152,3 +152,57 @@ def test_pyramid_shapes():
     assert shapes[0] == (480, 640)
     assert len(shapes) == 8
     assert shapes[1] == (400, 533)
+
+
+def test_extraction_mask_per_frame(rng):
+    """feed-time mask (0 = excluded) drops keypoints in masked regions
+    (reference: orb_extractor::extract with in_image_mask)."""
+    from structure_plp_slam_tpu.models import frontend as frontend_mod
+    from structure_plp_slam_tpu.ops.orb import OrbParams
+    from tests.helpers import make_camera
+
+    cam = make_camera(cols=256, rows=192, fx=200.0, fy=200.0, cx=127.5,
+                      cy=95.5)
+    fe = frontend_mod.Frontend(cam, OrbParams(max_num_keypts=400,
+                                              num_levels=3), pad_to=1024)
+    img = rng.uniform(0, 255, (192, 256)).astype(np.float32)
+    mask = np.ones((192, 256), np.uint8)
+    mask[:, 128:] = 0  # exclude right half
+    out = fe.mono(img, mask=mask)
+    xy = np.asarray(out["xy"])[np.asarray(out["valid"])]
+    assert len(xy) > 20
+    assert (xy[:, 0] < 128).all()
+    # Unmasked extraction does produce right-half keypoints.
+    out2 = fe.mono(img)
+    xy2 = np.asarray(out2["xy"])[np.asarray(out2["valid"])]
+    assert (xy2[:, 0] >= 128).any()
+
+
+def test_extraction_mask_rectangles(rng):
+    """Config-level normalized rectangles (Feature.mask_rectangles) are
+    applied to every frame (reference: create_rectangle_mask)."""
+    from structure_plp_slam_tpu.config import load_config
+    from structure_plp_slam_tpu.models import frontend as frontend_mod
+
+    cfg = load_config(yaml_text="""%YAML:1.0
+Camera.name: m
+Camera.setup: monocular
+Camera.model: perspective
+Camera.fx: 200.0
+Camera.fy: 200.0
+Camera.cx: 127.5
+Camera.cy: 95.5
+Camera.cols: 256
+Camera.rows: 192
+Feature.max_num_keypoints: 400
+Feature.num_levels: 3
+Feature.mask_rectangles:
+  - [0.0, 1.0, 0.0, 0.5]
+""")
+    assert cfg.orb.mask_rects == ((0.0, 1.0, 0.0, 0.5),)
+    fe = frontend_mod.Frontend(cfg.camera, cfg.orb, pad_to=1024)
+    img = rng.uniform(0, 255, (192, 256)).astype(np.float32)
+    out = fe.mono(img)
+    xy = np.asarray(out["xy"])[np.asarray(out["valid"])]
+    assert len(xy) > 20
+    assert (xy[:, 1] >= 96).all()  # top half excluded
