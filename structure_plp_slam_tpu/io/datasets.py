@@ -107,6 +107,21 @@ def load_kitti(seq_dir: str, use_stereo: bool = True) -> List[FrameRecord]:
     return out
 
 
+def attach_masks(frames: List[FrameRecord],
+                 mask_dir: Optional[str]) -> List[FrameRecord]:
+    """Pair PlaneRecNet instance masks to frames by image basename
+    (reference: image_planeSeg_util.h / planeSeg_util.h mask folders).
+    The single pairing convention for every loader."""
+    if not mask_dir:
+        return frames
+    for rec in frames:
+        stem = os.path.splitext(os.path.basename(rec.img_path))[0]
+        cand = os.path.join(mask_dir, stem + ".png")
+        if os.path.exists(cand):
+            rec.mask_path = cand
+    return frames
+
+
 def load_image_dir(img_dir: str, fps: float = 30.0,
                    mask_dir: Optional[str] = None) -> List[FrameRecord]:
     """Plain image directory (reference: example/util/image_util.h); with
@@ -116,20 +131,11 @@ def load_image_dir(img_dir: str, fps: float = 30.0,
         n for n in os.listdir(img_dir)
         if n.lower().endswith((".png", ".jpg", ".jpeg"))
     )
-    out = []
-    for i, n in enumerate(names):
-        mask = None
-        if mask_dir is not None:
-            cand = os.path.join(mask_dir, os.path.splitext(n)[0] + ".png")
-            mask = cand if os.path.exists(cand) else None
-        out.append(
-            FrameRecord(
-                timestamp=i / fps,
-                img_path=os.path.join(img_dir, n),
-                mask_path=mask,
-            )
-        )
-    return out
+    out = [
+        FrameRecord(timestamp=i / fps, img_path=os.path.join(img_dir, n))
+        for i, n in enumerate(names)
+    ]
+    return attach_masks(out, mask_dir)
 
 
 class PrefetchReader:

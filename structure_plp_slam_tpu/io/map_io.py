@@ -78,24 +78,19 @@ def save_map_async(writer, state: ms.MapState, *, next_kf: int, next_lm: int,
     writer.submit(msgpack.packb(doc, use_bin_type=True))
 
 
-def load_map(path: str) -> Tuple[ms.MapState, int, int]:
-    """Returns (state, next_kf, next_lm); line/plane counters via
-    ``load_counters``."""
+def _read_doc(path: str) -> dict:
     with open(path, "rb") as f:
         doc = msgpack.unpackb(f.read(), raw=False)
     if doc.get("version") != _FORMAT_VERSION:
         raise ValueError(f"unsupported map snapshot version {doc.get('version')}")
-    arrays = {k: jnp.asarray(_unarr(v)) for k, v in doc["arrays"].items()}
-    state = ms.MapState(**arrays)
-    return state, int(doc["keyframe_next_id"]), int(doc["landmark_next_id"])
+    return doc
 
 
-def load_counters(path: str) -> dict:
-    """All id counters from a snapshot. Line/plane counters of snapshots
-    written before they were recorded fall back to the highest valid slot
-    + 1 (append-only slot discipline makes that an upper bound)."""
-    with open(path, "rb") as f:
-        doc = msgpack.unpackb(f.read(), raw=False)
+def _doc_counters(doc: dict) -> dict:
+    """All id counters from a snapshot doc. Line/plane counters of
+    snapshots written before they were recorded fall back to the highest
+    valid slot + 1 (append-only slot discipline makes that an upper
+    bound)."""
 
     def derived(mask_key):
         m = _unarr(doc["arrays"][mask_key])
@@ -108,6 +103,26 @@ def load_counters(path: str) -> dict:
         "next_line": int(doc.get("line_next_id", derived("ln_valid"))),
         "next_plane": int(doc.get("plane_next_id", derived("pl_valid"))),
     }
+
+
+def load_map_with_counters(path: str) -> Tuple[ms.MapState, dict]:
+    """One-parse load: (state, counters dict). Prefer this over
+    load_map + load_counters, which would deserialize the (potentially
+    very large) snapshot twice."""
+    doc = _read_doc(path)
+    arrays = {k: jnp.asarray(_unarr(v)) for k, v in doc["arrays"].items()}
+    return ms.MapState(**arrays), _doc_counters(doc)
+
+
+def load_map(path: str) -> Tuple[ms.MapState, int, int]:
+    """Returns (state, next_kf, next_lm); see ``load_map_with_counters``
+    for the full counter set in one parse."""
+    state, c = load_map_with_counters(path)
+    return state, c["next_kf"], c["next_lm"]
+
+
+def load_counters(path: str) -> dict:
+    return _doc_counters(_read_doc(path))
 
 
 def load_cameras(path: str) -> dict:

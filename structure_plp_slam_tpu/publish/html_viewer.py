@@ -106,6 +106,7 @@ let inited = false;
 async function poll() {
   try {
     const r = await fetch('/map.json');
+    if (!r.ok) throw 0;  // keep the previous DATA on server errors
     const d = await r.json();
     DATA = d;
     document.getElementById('hud').innerHTML =

@@ -39,29 +39,36 @@ class LiveViewerServer:
         srv.stop()
     """
 
-    def __init__(self, map_publisher, port: int = 0, max_points: int = 20000):
+    def __init__(self, map_publisher, port: int = 0, max_points: int = 20000,
+                 host: str = "127.0.0.1"):
+        """``host`` defaults to loopback — the map is served
+        unauthenticated, so exposing it beyond the machine (host=
+        "0.0.0.0") must be an explicit choice."""
         self.map_publisher = map_publisher
         self.max_points = max_points
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (http.server API)
+                status = 200
                 if self.path.split("?")[0] == "/map.json":
                     try:
                         data = html_viewer.map_data(
                             outer.map_publisher, outer.max_points
                         )
                         body = json.dumps(data).encode()
-                        ctype = "application/json"
                     except Exception as e:  # pragma: no cover - defensive
+                        # Non-200 so the polling client keeps its previous
+                        # DATA instead of replacing it with this.
+                        status = 503
                         body = json.dumps({"error": str(e)}).encode()
-                        ctype = "application/json"
+                    ctype = "application/json"
                 else:
                     body = html_viewer.render_html(
                         html_viewer._EMPTY_DATA, live=True
                     ).encode()
                     ctype = "text/html; charset=utf-8"
-                self.send_response(200)
+                self.send_response(status)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.send_header("Cache-Control", "no-store")
@@ -71,7 +78,7 @@ class LiveViewerServer:
             def log_message(self, *args):
                 pass
 
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True

@@ -68,6 +68,7 @@ class RosNode:
         self.node_name = node_name
         self.track_times: list = []
         self._t0 = None
+        self._started = False
 
     def _on_image(self, msg):
         if self._t0 is None:
@@ -106,7 +107,11 @@ class RosNode:
 
     def start(self, pose_publish_fn=None):
         """Initialize the node and subscribe. ``pose_publish_fn`` (used in
-        tests) overrides the default PoseStamped publisher."""
+        tests) overrides the default PoseStamped publisher. Idempotent:
+        a second call is a no-op (so start() + spin() composes)."""
+        if self._started:
+            return
+        self._started = True
         rospy = self._rospy
         rospy.init_node(self.node_name)
         self._pose_pub = pose_publish_fn or self._make_pose_publisher()
@@ -144,6 +149,6 @@ class RosNode:
         return publish
 
     def spin(self):  # pragma: no cover - needs ROS
-        self.start()
+        self.start()  # no-op if the caller already started with options
         self._rospy.spin()
         self.system.shutdown()

@@ -50,19 +50,6 @@ def _common(sub, need_dir: bool = True):
                           "after the run")
 
 
-def _attach_masks(frames, mask_dir):
-    """Pair PlaneRecNet instance masks by image basename (reference:
-    image_planeSeg_util.h / planeSeg_util.h mask folders)."""
-    if not mask_dir:
-        return frames
-    for rec in frames:
-        stem = os.path.splitext(os.path.basename(rec.img_path))[0]
-        cand = os.path.join(mask_dir, stem + ".png")
-        if os.path.exists(cand):
-            rec.mask_path = cand
-    return frames
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="structure_plp_slam_tpu.run")
     sp = ap.add_subparsers(dest="cmd", required=True)
@@ -94,7 +81,7 @@ def main(argv=None):
         frames = datasets.load_kitti(args.data_dir)
     else:
         frames = datasets.load_image_dir(args.data_dir, fps=cfg.camera.fps)
-    frames = _attach_masks(frames, args.mask_dir)
+    frames = datasets.attach_masks(frames, args.mask_dir)
 
     frames = frames[:: args.frame_skip]
     if args.max_frames:

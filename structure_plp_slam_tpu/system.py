@@ -791,8 +791,9 @@ class System:
         the loaded map (reference: run_image_localization.cc:66-76)."""
         from structure_plp_slam_tpu.io import map_io
 
-        self.state, self.next_kf, self.next_lm = map_io.load_map(path)
-        counters = map_io.load_counters(path)
+        self.state, counters = map_io.load_map_with_counters(path)
+        self.next_kf = counters["next_kf"]
+        self.next_lm = counters["next_lm"]
         self.next_line = counters["next_line"]
         self.next_plane = counters["next_plane"]
         self.max_keyframes = self.state.kf_pose.shape[0]
@@ -892,14 +893,16 @@ class System:
             )
         )
 
-    def start_live_viewer(self, port: int = 0, max_points: int = 20000) -> int:
+    def start_live_viewer(self, port: int = 0, max_points: int = 20000,
+                          host: str = "127.0.0.1") -> int:
         """Start the live HTTP map viewer (reference: socket_publisher +
         node.js web viewer). Returns the bound port; open
-        ``http://localhost:<port>`` in a browser."""
+        ``http://localhost:<port>`` in a browser. Serves loopback-only
+        unless ``host`` says otherwise."""
         from structure_plp_slam_tpu.publish.live_server import LiveViewerServer
 
         self._live_viewer = LiveViewerServer(
-            self.map_publisher, port=port, max_points=max_points
+            self.map_publisher, port=port, max_points=max_points, host=host
         )
         return self._live_viewer.port
 
