@@ -9,9 +9,11 @@ writing to a slot and setting its valid bit, "deletion" is clearing the bit
 update); compaction is a gather. There are no locks: updates are functional
 array donations sequenced by the host orchestrator.
 
-Capacity policy: capacities are static (jit shapes). The host wrapper
-(data/map_database.py) doubles capacities and re-dispatches if full —
-in practice the defaults hold a full TUM/EuRoC sequence.
+Capacity policy: capacities are static (jit shapes). When a capacity
+fills, the host grows the arrays by doubling (data/map_database.py grow_*
+helpers; System calls them before insertion) and jit re-specializes on the
+new shapes — in practice the defaults hold a full TUM/EuRoC sequence
+without growing.
 
 Observation model: each keyframe has ``max_kps`` keypoint slots;
 ``kf_lm_idx[k, i]`` is the landmark id observed by keypoint i (or -1).

@@ -83,9 +83,18 @@ def detect_planes(
 
     keys = jax.random.split(key, max_instances)
 
-    fit = (
-        plane_fit.plane_ransac_coherent if coherent else plane_fit.plane_ransac
-    )
+    # The k-NN graph for the coherent consensus depends only on the shared
+    # candidate points — build it ONCE and apply per-instance validity to
+    # its edges inside the fit (8x less N^2 work than per-instance graphs).
+    if coherent:
+        graph = plane_fit.knn_graph(pts, has_lm & unowned)
+
+        def fit(p, sel, k, inlier_thr):
+            return plane_fit.plane_ransac_coherent(
+                p, sel, k, graph, inlier_thr=inlier_thr
+            )
+    else:
+        fit = plane_fit.plane_ransac
 
     def per_instance(inst, k):
         sel = has_lm & unowned & (labels == inst)

@@ -46,18 +46,25 @@ def _project_landmarks(camera, R, t, lm_pos):
     return uv, pc
 
 
-def _visibility(camera, uv, pc, lm_normal, lm_dist_min, lm_dist_max, margin=5.0):
-    """can_observe gating (reference: frame.cc:797): in image, positive
-    depth (any direction for equirectangular), distance within ORB scale
-    bounds, viewing angle < 60 deg."""
+def _visibility(camera, R, uv, pc, lm_normal, lm_dist_min, lm_dist_max,
+                margin=5.0):
+    """can_observe gating (reference: frame.cc:797 / landmark.h:105-110):
+    in image, positive depth (any direction for equirectangular), distance
+    within ORB scale bounds, viewing angle < 60 deg to the landmark's mean
+    viewing direction."""
     in_img = cam_base.in_image(camera, uv, margin)
     dist = jnp.linalg.norm(pc, axis=-1)
     in_scale = (dist >= 0.8 * lm_dist_min) & (dist <= 1.3 * lm_dist_max)
-    view = pc / jnp.maximum(dist[:, None], 1e-9)
-    # lm_normal is the mean world-frame viewing direction (cam->point); the
-    # current viewing direction in world frame is R^T @ view.
-    cos = jnp.sum(view * lm_normal, axis=-1)  # normals stored in cam-agnostic form
-    return in_img & cam_base.cheirality(camera, pc) & in_scale, dist
+    view_c = pc / jnp.maximum(dist[:, None], 1e-9)
+    # lm_normal is the mean WORLD-frame viewing direction (cam -> point);
+    # the current world-frame viewing direction is R^T @ view_c, so
+    # cos = (R^T view_c) . n = view_c . (R n).
+    cos = jnp.sum(view_c * (lm_normal @ R.T), axis=-1)
+    angle_ok = cos >= 0.5  # < 60 deg (frame.cc:797 ratio 0.5 gate)
+    return (
+        in_img & cam_base.cheirality(camera, pc) & in_scale & angle_ok,
+        dist,
+    )
 
 
 def _assoc_to_kp_lm(lm_idx_global, kp_best, dist, num_kps):
@@ -161,7 +168,8 @@ def track_frame(
     def assoc(R, t, lm_mask, radius_table, max_h, ratio):
         uv, pc = _project_landmarks(camera, R, t, state.lm_pos)
         vis, dist = _visibility(
-            camera, uv, pc, state.lm_normal, state.lm_dist_min, state.lm_dist_max
+            camera, R, uv, pc, state.lm_normal, state.lm_dist_min,
+            state.lm_dist_max,
         )
         cand = lm_mask & vis & state.lm_valid
         pred_level = matching.predict_scale_level(
@@ -268,7 +276,8 @@ def track_frame(
     # tracking_module.cc:732-759).
     uv2, pc2 = _project_landmarks(camera, R1, t1, state.lm_pos)
     vis_mask, dist2 = _visibility(
-        camera, uv2, pc2, state.lm_normal, state.lm_dist_min, state.lm_dist_max
+        camera, R1, uv2, pc2, state.lm_normal, state.lm_dist_min,
+        state.lm_dist_max,
     )
     already = jnp.zeros((L,), bool).at[jnp.clip(kp_lm_1, 0, L - 1)].set(
         kp_lm_1 >= 0

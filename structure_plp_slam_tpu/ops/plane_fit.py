@@ -78,11 +78,30 @@ def plane_ransac(points, valid, key, *, inlier_thr: float,
     return coef2, inl2, jnp.sum(inl2)
 
 
+def knn_graph(points, valid, num_neighbors: int = 8):
+    """k-NN graph among valid points (3D Euclidean).
+
+    Returns (nbr [N, K] i32, nbr_ok [N, K] bool). Shared across callers:
+    detect_planes builds it ONCE over a keyframe's candidate landmarks and
+    reuses it for every mask instance (the points are identical; only the
+    per-instance validity differs), instead of paying the N^2 distance
+    matrix per instance."""
+    N = points.shape[0]
+    d2m = jnp.sum((points[:, None] - points[None]) ** 2, axis=-1)
+    big = jnp.float32(1e30)
+    d2m = jnp.where(valid[None] & valid[:, None], d2m, big)
+    d2m = d2m + jnp.eye(N) * big  # no self-edges
+    _, nbr = jax.lax.top_k(-d2m, num_neighbors)  # [N, K]
+    nbr_ok = jnp.take_along_axis(d2m, nbr, axis=1) < big
+    return nbr, nbr_ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_hypotheses", "num_neighbors", "num_sweeps"),
 )
-def plane_ransac_coherent(points, valid, key, *, inlier_thr: float,
+def plane_ransac_coherent(points, valid, key, graph=None, *,
+                          inlier_thr: float,
                           num_hypotheses: int = 128, num_neighbors: int = 8,
                           num_sweeps: int = 4, smoothness: float = 2.0):
     """Spatially-coherent plane consensus: batched MSAC seed + mean-field
@@ -100,21 +119,22 @@ def plane_ransac_coherent(points, valid, key, *, inlier_thr: float,
     inliers are pulled in across the threshold boundary, isolated
     residual-lucky points are pushed out.
 
+    ``graph``: optional precomputed ``knn_graph`` (nbr, nbr_ok) over a
+    SUPERSET of ``valid``; per-call validity is applied to the stored
+    edges. Built internally when absent.
+
     Returns (coef [4], inliers [N], num_inliers) like ``plane_ransac``.
     """
-    N = points.shape[0]
     coef0, inl0, _ = plane_ransac(
         points, valid, key, inlier_thr=inlier_thr,
         num_hypotheses=num_hypotheses,
     )
 
-    # k-NN graph among valid candidates (3D Euclidean).
-    d2m = jnp.sum((points[:, None] - points[None]) ** 2, axis=-1)
-    big = jnp.float32(1e30)
-    d2m = jnp.where(valid[None] & valid[:, None], d2m, big)
-    d2m = d2m + jnp.eye(N) * big  # no self-edges
-    _, nbr = jax.lax.top_k(-d2m, num_neighbors)  # [N, K]
-    nbr_ok = jnp.take_along_axis(d2m, nbr, axis=1) < big
+    if graph is None:
+        nbr, nbr_ok = knn_graph(points, valid, num_neighbors)
+    else:
+        nbr, nbr_ok = graph
+        nbr_ok = nbr_ok & valid[nbr]
 
     tau = 0.5 * inlier_thr
 

@@ -131,17 +131,21 @@ _EMPTY_DATA = {
 
 def map_data(map_publisher, max_points: int = 20000) -> dict:
     """Assemble the viewer's JSON payload (points, colors, trajectory,
-    frusta, line segments, plane quads, view framing) from the current
-    map-publisher snapshot. Shared by the static export and the live
-    ``/map.json`` endpoint."""
-    pts = map_publisher.get_landmarks()
-    cols = map_publisher.get_landmark_colors()
+    frusta, line segments, plane quads, view framing). Shared by the
+    static export and the live ``/map.json`` endpoint.
+
+    All arrays derive from ONE ``MapPublisher.snapshot()`` — the HTTP
+    handler thread races the tracking loop, and independent getter calls
+    could mix two map versions (mismatched points/colors lengths)."""
+    snap = map_publisher.snapshot()
+    pts = snap.get_landmarks()
+    cols = snap.get_landmark_colors()
     if len(pts) > max_points:
         sel = np.random.default_rng(0).choice(len(pts), max_points, replace=False)
         pts, cols = pts[sel], cols[sel]
-    kfs = map_publisher.get_keyframe_poses()
-    lines = map_publisher.get_lines()
-    planes = map_publisher.get_planes()
+    kfs = snap.get_keyframe_poses()
+    lines = snap.get_lines()
+    planes = snap.get_planes()
 
     centers = (
         np.stack([-P[:, :3].T @ P[:, 3] for P in kfs]) if len(kfs) else np.zeros((0, 3))

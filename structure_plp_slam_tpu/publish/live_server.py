@@ -16,8 +16,10 @@ needs protobuf, socket.io-cpp and a node runtime; here a single
                  (publish/map_publisher.cc:80-160).
 
 Snapshot assembly happens on the server thread per request; the SLAM loop
-is never blocked (the publisher reads host-side numpy copies guarded by
-its own mutex).
+is never blocked. Consistency comes from immutability, not locking: the
+system swaps its MapState reference atomically, so each request captures
+ONE ``MapPublisher.snapshot()`` and derives every array from that single
+capture (html_viewer.map_data).
 """
 
 from __future__ import annotations

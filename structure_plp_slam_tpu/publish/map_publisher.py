@@ -26,40 +26,36 @@ class MapPublisher:
     def get_current_cam_pose(self) -> Optional[np.ndarray]:
         return self._current_pose
 
+    def snapshot(self) -> "MapSnapshot":
+        """One consistent capture of the map for viewer threads.
+
+        The system swaps ``self.state`` atomically (it is an immutable
+        NamedTuple of device arrays), so reading the reference ONCE yields
+        a self-consistent map even while tracking mutates the system —
+        every derived array below comes from that single read. Viewer code
+        must use this instead of calling the getters repeatedly (each
+        getter re-reads the live state and can see different versions).
+        """
+        return MapSnapshot(self._sys.state, self._current_pose)
+
     def get_landmarks(self) -> np.ndarray:
-        st = self._sys.state
-        valid = np.asarray(st.lm_valid)
-        return np.asarray(st.lm_pos)[valid]
+        return self.snapshot().get_landmarks()
 
     def get_landmark_colors(self) -> np.ndarray:
         """Per-landmark RGB: plane-owned landmarks get the plane's color
         (reference: planes carry a random display color)."""
-        st = self._sys.state
-        valid = np.asarray(st.lm_valid)
-        plane = np.asarray(st.lm_plane)[valid]
-        rng = np.random.default_rng(0)
-        palette = rng.integers(64, 255, size=(int(st.pl_coef.shape[0]), 3))
-        colors = np.full((valid.sum(), 3), 180, np.uint8)
-        owned = plane >= 0
-        colors[owned] = palette[plane[owned] % len(palette)]
-        return colors
+        return self.snapshot().get_landmark_colors()
 
     def get_keyframe_poses(self) -> np.ndarray:
-        st = self._sys.state
-        valid = np.asarray(st.kf_valid)
-        return np.asarray(st.kf_pose)[valid]
+        return self.snapshot().get_keyframe_poses()
 
     def get_lines(self) -> np.ndarray:
         """[M, 6] world endpoint pairs of valid 3D lines."""
-        st = self._sys.state
-        valid = np.asarray(st.ln_valid)
-        return np.asarray(st.ln_endpoints)[valid]
+        return self.snapshot().get_lines()
 
     def get_planes(self) -> np.ndarray:
         """[P, 4] plane coefficients."""
-        st = self._sys.state
-        valid = np.asarray(st.pl_valid)
-        return np.asarray(st.pl_coef)[valid]
+        return self.snapshot().get_planes()
 
     # -- export --------------------------------------------------------
     def export_html(self, path: str, max_points: int = 20000):
@@ -71,12 +67,13 @@ class MapPublisher:
 
     def export_ply(self, path: str, with_trajectory: bool = True):
         """Write landmarks (+ keyframe centers) as an ASCII PLY cloud."""
-        pts = self.get_landmarks()
-        cols = self.get_landmark_colors()
+        snap = self.snapshot()
+        pts = snap.get_landmarks()
+        cols = snap.get_landmark_colors()
         rows = [pts]
         colrows = [cols]
         if with_trajectory:
-            kf = self.get_keyframe_poses()
+            kf = snap.get_keyframe_poses()
             centers = np.stack([-P[:, :3].T @ P[:, 3] for P in kf]) if len(kf) else np.zeros((0, 3))
             rows.append(centers)
             colrows.append(np.tile([255, 0, 0], (len(centers), 1)))
@@ -92,3 +89,46 @@ class MapPublisher:
             )
             for p, c in zip(allp, allc):
                 f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {c[0]} {c[1]} {c[2]}\n")
+
+
+class MapSnapshot:
+    """Read-only view over ONE MapState capture (see
+    :meth:`MapPublisher.snapshot`). Same getter API as the publisher."""
+
+    def __init__(self, state, current_pose):
+        self._state = state
+        self._current_pose = current_pose
+
+    def get_current_cam_pose(self) -> Optional[np.ndarray]:
+        return self._current_pose
+
+    def get_landmarks(self) -> np.ndarray:
+        st = self._state
+        valid = np.asarray(st.lm_valid)
+        return np.asarray(st.lm_pos)[valid]
+
+    def get_landmark_colors(self) -> np.ndarray:
+        st = self._state
+        valid = np.asarray(st.lm_valid)
+        plane = np.asarray(st.lm_plane)[valid]
+        rng = np.random.default_rng(0)
+        palette = rng.integers(64, 255, size=(int(st.pl_coef.shape[0]), 3))
+        colors = np.full((int(valid.sum()), 3), 180, np.uint8)
+        owned = plane >= 0
+        colors[owned] = palette[plane[owned] % len(palette)]
+        return colors
+
+    def get_keyframe_poses(self) -> np.ndarray:
+        st = self._state
+        valid = np.asarray(st.kf_valid)
+        return np.asarray(st.kf_pose)[valid]
+
+    def get_lines(self) -> np.ndarray:
+        st = self._state
+        valid = np.asarray(st.ln_valid)
+        return np.asarray(st.ln_endpoints)[valid]
+
+    def get_planes(self) -> np.ndarray:
+        st = self._state
+        valid = np.asarray(st.pl_valid)
+        return np.asarray(st.pl_coef)[valid]

@@ -51,6 +51,7 @@ class RosNode:
 
     def __init__(self, config, *, image_topic: str = "camera/image_raw",
                  node_name: str = "structure_plp_slam_tpu",
+                 world_frame_id: str = "map",
                  system_kwargs: Optional[dict] = None, rospy_module=None):
         if rospy_module is None:  # pragma: no cover - needs a ROS install
             try:
@@ -66,6 +67,7 @@ class RosNode:
         self.system = System(config, **(system_kwargs or {}))
         self.image_topic = image_topic
         self.node_name = node_name
+        self.world_frame_id = world_frame_id
         self.track_times: list = []
         self._t0 = None
         self._started = False
@@ -135,7 +137,11 @@ class RosNode:
         def publish(header, position, orientation):
             msg = PoseStamped()
             if header is not None:
-                msg.header = header
+                # Keep the image stamp, but the pose is expressed in the
+                # WORLD frame — the camera optical frame_id from the image
+                # header would be semantically wrong for TF consumers.
+                msg.header.stamp = header.stamp
+            msg.header.frame_id = self.world_frame_id
             msg.pose.position.x, msg.pose.position.y, msg.pose.position.z = (
                 float(position[0]), float(position[1]), float(position[2])
             )

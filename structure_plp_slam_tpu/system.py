@@ -512,8 +512,11 @@ class System:
         # Landmark culling for recent landmarks.
         self.state, _ = mapper.cull_landmarks(self.state, slot)
 
-        # Monocular triangulation with top covisible neighbors.
-        if self.camera.setup is CameraSetup.MONOCULAR or True:
+        # Two-view triangulation with top covisible neighbors — all setups:
+        # depth-seeded maps still gain far points beyond the depth range
+        # (reference: mapping_module create_new_landmarks runs for every
+        # setup, mapping_module.cc:359-418).
+        if True:
             W = np.array(ms.covisibility_matrix(self.state)[slot])
             W[slot] = 0
             order = np.argsort(-W)
@@ -901,6 +904,9 @@ class System:
         unless ``host`` says otherwise."""
         from structure_plp_slam_tpu.publish.live_server import LiveViewerServer
 
+        # A second start replaces the first server; stop it so its daemon
+        # thread and bound socket are released rather than leaked.
+        self.stop_live_viewer()
         self._live_viewer = LiveViewerServer(
             self.map_publisher, port=port, max_points=max_points, host=host
         )
