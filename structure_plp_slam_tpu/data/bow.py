@@ -16,8 +16,11 @@ data. Scores land in [0, 1]; unrelated views score ~0 (a 256-bit chance
 match below 30 bits is ~12 sigma out), re-visits score like the fraction
 of co-observed features.
 
-Descriptor storage is the MapState's own ``kf_desc`` — the index adds no
-state beyond a cached bit-plane tensor.
+STATELESS by design: the MapState's ``kf_desc`` / ``kf_kp_valid`` /
+``kf_valid`` ARE the index. Descriptor bit-planes are unpacked on the fly
+per chunk inside the scoring scan — no [K, N, 256] cache to keep in HBM
+(268 MB at K=256/N=2048, >1 GB at KITTI scale), no add/remove bookkeeping
+to keep in sync with keyframe culling or capacity growth.
 """
 
 from __future__ import annotations
@@ -26,94 +29,72 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from structure_plp_slam_tpu.ops import matching
 
 
+@functools.partial(jax.jit, static_argnames=("max_hamming", "chunk"))
+def _scores_impl(kf_desc, kf_kp_valid, kf_valid, q_desc, q_valid,
+                 *, max_hamming: int = 30, chunk: int = 8):
+    """[K] match-count scores of a query descriptor set against every
+    stored keyframe. One bf16 matmul per ``chunk`` keyframes."""
+    K, N, _ = kf_desc.shape
+    C = chunk
+    Kp = ((K + C - 1) // C) * C
+    if Kp != K:
+        kf_desc = jnp.pad(kf_desc, ((0, Kp - K), (0, 0), (0, 0)))
+        kf_kp_valid = jnp.pad(kf_kp_valid, ((0, Kp - K), (0, 0)))
+        kf_valid = jnp.pad(kf_valid, (0, Kp - K))
+    q_bits = matching.unpack_desc_bits(q_desc)  # [Nq, 256]
+
+    def body(carry, k0):
+        blk_desc = jax.lax.dynamic_slice(kf_desc, (k0, 0, 0), (C, N, 8))
+        blk_kp = jax.lax.dynamic_slice(kf_kp_valid, (k0, 0), (C, N))
+        blk_kf = jax.lax.dynamic_slice(kf_valid, (k0,), (C,))
+        blk_bits = matching.unpack_desc_bits(blk_desc)  # [C, N, 256]
+        dot = jax.lax.dot_general(
+            q_bits,
+            blk_bits.reshape(C * N, 256),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # [Nq, C*N]
+        d = ((256.0 - dot) * 0.5).reshape(-1, C, N)
+        d = jnp.where((blk_kp & blk_kf[:, None])[None], d, 1024.0)
+        best = jnp.min(d, axis=-1)  # [Nq, C]
+        cnt = jnp.sum((best <= max_hamming) & q_valid[:, None], axis=0)
+        return carry, cnt
+
+    k0s = jnp.arange(0, Kp, C)
+    _, counts = jax.lax.scan(body, None, k0s)
+    counts = counts.reshape(-1)[:K].astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(q_valid), 1).astype(jnp.float32)
+    return counts / denom
+
+
 class BowIndex:
-    """Match-count retrieval over keyframe slots.
+    """Match-count retrieval over the MapState's keyframe descriptors.
 
-    Keeps a ``[K, N, 256]`` bf16 bit-plane cache updated per keyframe
-    (device-resident; ~270 MB at K=256, N=2048 — small against HBM).
-    """
+    Construction takes only scoring knobs; queries take the state."""
 
-    def __init__(self, max_keyframes: int, max_hamming: int = 30,
-                 chunk: int = 8):
-        self.max_keyframes = max_keyframes
+    def __init__(self, max_hamming: int = 30, chunk: int = 8):
         self.max_hamming = max_hamming
         self.chunk = chunk
-        self._bits = None  # lazily shaped on first add: [K, N, 256] bf16
-        self._valid = None  # [K, N] bool
-        self._score = jax.jit(self._score_impl)
 
-    def _ensure(self, n_kps):
-        if self._bits is None:
-            self._bits = jnp.zeros(
-                (self.max_keyframes, n_kps, 256), jnp.bfloat16
-            )
-            self._valid = jnp.zeros((self.max_keyframes, n_kps), bool)
+    def scores(self, state, query_desc_u32, query_valid) -> jax.Array:
+        """``[K]`` scores of a query frame's descriptors (relocalization
+        candidates, bow_database.cc:170)."""
+        return _scores_impl(
+            state.kf_desc, state.kf_kp_valid, state.kf_valid,
+            query_desc_u32, query_valid,
+            max_hamming=self.max_hamming, chunk=self.chunk,
+        )
 
-    # ------------------------------------------------------------------
-    def add(self, slot: int, desc_u32, valid):
-        self._ensure(desc_u32.shape[0])
-        bits = matching.unpack_desc_bits(desc_u32)
-        self._bits = self._bits.at[slot].set(bits)
-        self._valid = self._valid.at[slot].set(valid)
-
-    def remove(self, slot: int):
-        if self._valid is not None:
-            self._valid = self._valid.at[slot].set(False)
-
-    # ------------------------------------------------------------------
-    def _score_impl(self, kf_bits, kf_valid, q_bits, q_valid):
-        K, N, _ = kf_bits.shape
-        C = self.chunk
-
-        def body(carry, k0):
-            blk_bits = jax.lax.dynamic_slice(
-                kf_bits, (k0, 0, 0), (C, N, 256)
-            )
-            blk_valid = jax.lax.dynamic_slice(kf_valid, (k0, 0), (C, N))
-            dot = jax.lax.dot_general(
-                q_bits,
-                blk_bits.reshape(C * N, 256),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )  # [Nq, C*N]
-            d = ((256.0 - dot) * 0.5).reshape(-1, C, N)
-            d = jnp.where(blk_valid[None], d, 1024.0)
-            best = jnp.min(d, axis=-1)  # [Nq, C]
-            cnt = jnp.sum(
-                (best <= self.max_hamming) & q_valid[:, None], axis=0
-            )  # [C]
-            return carry, cnt
-
-        k0s = jnp.arange(0, K, C)
-        _, counts = jax.lax.scan(body, None, k0s)
-        counts = counts.reshape(-1)[:K].astype(jnp.float32)
-        denom = jnp.maximum(jnp.sum(q_valid), 1).astype(jnp.float32)
-        return counts / denom
-
-    def scores(self, query_desc_u32, query_valid) -> jax.Array:
-        """``[K]`` match-count scores of a query descriptor set."""
-        self._ensure(query_desc_u32.shape[0])
-        q_bits = matching.unpack_desc_bits(query_desc_u32)
-        return self._score(self._bits, self._valid, q_bits, query_valid)
-
-    # Back-compat shims for callers that stored "encoded" queries.
-    def encode(self, desc_u32, valid):
-        return (desc_u32, valid)
-
-    def similarities(self, encoded_or_slot):
-        if isinstance(encoded_or_slot, tuple):
-            return self.scores(*encoded_or_slot)
-        raise TypeError("pass (desc, valid) from encode()")
-
-    def scores_for_slot(self, slot: int) -> jax.Array:
-        """Scores of a stored keyframe against all keyframes."""
-        # Rebuild u32 is unnecessary: score directly with the cached bits.
-        q_bits = self._bits[slot].astype(jnp.bfloat16)
-        q_valid = self._valid[slot]
-        return self._score(self._bits, self._valid, q_bits, q_valid)
+    def scores_for_slot(self, state, slot) -> jax.Array:
+        """``[K]`` scores of stored keyframe ``slot`` against all keyframes
+        (loop candidates, bow_database.cc:97)."""
+        return _scores_impl(
+            state.kf_desc, state.kf_kp_valid, state.kf_valid,
+            state.kf_desc[slot], state.kf_kp_valid[slot],
+            max_hamming=self.max_hamming, chunk=self.chunk,
+        )

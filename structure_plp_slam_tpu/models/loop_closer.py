@@ -72,11 +72,13 @@ def _match_landmark_pairs(camera, state: ms.MapState, kf1, kf2):
 
 
 class LoopCloser:
-    def __init__(self, camera, max_keyframes: int, *,
+    def __init__(self, camera, max_keyframes: int = 0, *,
                  min_continuity: int = 3, min_inliers: int = 20,
                  min_gap: int = 10):
+        # max_keyframes is accepted for back-compat; the retrieval index is
+        # stateless over the MapState and needs no capacity.
         self.camera = camera
-        self.bow = BowIndex(max_keyframes)
+        self.bow = BowIndex()
         self.min_continuity = min_continuity
         self.min_inliers = min_inliers
         self.min_gap = min_gap
@@ -86,15 +88,11 @@ class LoopCloser:
         self.num_loops_closed = 0
 
     # ------------------------------------------------------------------
-    def add_keyframe(self, state: ms.MapState, slot: int):
-        self.bow.add(slot, state.kf_desc[slot], state.kf_kp_valid[slot])
-
-    # ------------------------------------------------------------------
     def detect(self, state: ms.MapState, kf: int) -> Optional[int]:
         """BoW candidate detection with min-score + continuity gating."""
         if kf - self.last_loop_kf < self.min_gap:
             return None
-        sims = np.array(self.bow.scores_for_slot(kf))
+        sims = np.array(self.bow.scores_for_slot(state, kf))
         W = np.array(ms.covisibility_matrix(state)[kf])
         kf_valid = np.array(state.kf_valid)
         covis = (W >= 15) & kf_valid

@@ -53,8 +53,7 @@ class Relocalizer:
                    max_candidates: int = 3):
         """Try to recover the camera pose. Returns (R, t, kp_lm, ref_kf)
         or None."""
-        q = self.bow.encode(feats["desc"], feats["valid"])
-        sims = np.array(self.bow.similarities(q))
+        sims = np.array(self.bow.scores(state, feats["desc"], feats["valid"]))
         kf_valid = np.array(state.kf_valid)
         sims = np.where(kf_valid, sims, -1.0)
         order = np.argsort(-sims)[:max_candidates]

@@ -392,7 +392,6 @@ class System:
                 return False
             self.next_kf = 1
             self.next_lm = n
-            self.loop_closer.add_keyframe(self.state, 0)
             self.last_kp_lm = self.state.kf_lm_idx[0]
             self.pose = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
             self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
@@ -472,8 +471,6 @@ class System:
         )
         self.next_kf = 2
         self.next_lm = count
-        self.loop_closer.add_keyframe(self.state, 0)
-        self.loop_closer.add_keyframe(self.state, 1)
 
         # Initial global BA over the two views (reference: initializer.cc
         # :306-307 runs 20 iterations of global BA).
@@ -652,13 +649,11 @@ class System:
                 from structure_plp_slam_tpu.models import line_mapper
 
                 self.state = line_mapper.refresh_lines(self.camera, self.state)
-        # Keyframe culling (+ retrieval-index eviction for culled slots).
+        # Keyframe culling. (The retrieval index is stateless over the
+        # MapState, so culled slots drop out of scoring via kf_valid with
+        # no eviction bookkeeping.)
         if self.next_kf >= 5:
-            valid_before = np.asarray(self.state.kf_valid)
             self.state, _ = mapper.cull_keyframes(self.state, slot)
-            culled = valid_before & ~np.asarray(self.state.kf_valid)
-            for k in np.where(culled)[0]:
-                self.loop_closer.bow.remove(int(k))
 
         # Refresh current-frame associations from the stored keyframe.
         self.last_kp_lm = self.state.kf_lm_idx[slot]
@@ -671,7 +666,6 @@ class System:
 
         # Loop closing (reference: the keyframe flows to the
         # global-optimization thread's queue, mapping_module.cc:150).
-        self.loop_closer.add_keyframe(self.state, slot)
         if self.enable_loop_closing and self.next_kf >= 8:
             cand = self.loop_closer.detect(self.state, slot)
             if cand is not None:
@@ -801,10 +795,8 @@ class System:
         self.next_plane = counters["next_plane"]
         self.max_keyframes = self.state.kf_pose.shape[0]
         self.max_landmarks = self.state.lm_pos.shape[0]
-        # Rebuild the retrieval index from keyframe descriptors.
-        kf_valid = np.asarray(self.state.kf_valid)
-        for k in np.where(kf_valid)[0]:
-            self.loop_closer.add_keyframe(self.state, int(k))
+        # No retrieval-index rebuild needed: scoring reads the loaded
+        # MapState's own descriptors directly.
         self.tracking_state = TrackerState.LOST
         self._invalidate_map_cache()
 

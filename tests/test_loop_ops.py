@@ -7,6 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from structure_plp_slam_tpu.data import map_state as ms
 from structure_plp_slam_tpu.data.bow import BowIndex
 from structure_plp_slam_tpu.models import pose_graph as pg
 from structure_plp_slam_tpu.ops import lie, pnp, sim3_solver
@@ -162,18 +163,26 @@ def test_pose_graph_closes_loop(rng):
 
 
 def test_bow_index_retrieval(rng):
-    idx = BowIndex(max_keyframes=8)
+    idx = BowIndex()
+
     def rand_desc(seed):
         r = np.random.default_rng(seed)
         return jnp.asarray(r.integers(0, 2**32, (64, 8), dtype=np.uint32))
 
-    valid = jnp.ones((64,), bool)
+    # The index is stateless over the MapState: keyframe descriptors ARE
+    # the index (no add/remove bookkeeping).
+    state = ms.create(8, 64, 128)
     for k in range(6):
-        idx.add(k, rand_desc(k), valid)
+        state = state._replace(
+            kf_desc=state.kf_desc.at[k].set(rand_desc(k)),
+            kf_kp_valid=state.kf_kp_valid.at[k].set(True),
+            kf_valid=state.kf_valid.at[k].set(True),
+        )
+    valid = jnp.ones((64,), bool)
     # Query similar to kf 3 (same descriptors, a few flipped bits).
     d3 = np.array(rand_desc(3))
     d3[:5] ^= 0xF
-    sims = np.asarray(idx.scores(jnp.asarray(d3), valid))
+    sims = np.asarray(idx.scores(state, jnp.asarray(d3), valid))
     assert np.argmax(sims[:6]) == 3
     assert sims[3] > 0.9
     # Unrelated random descriptor sets: chance 256-bit matches under 30
