@@ -188,6 +188,7 @@ def lines_from_depth(camera, state: ms.MapState, kf, base_slot):
     pl_w = lg.plucker_from_endpoints(p1w, p2w)
     order = jnp.cumsum(good.astype(jnp.int32)) - 1
     slots = base_slot + order
+    good = good & (slots < L2)  # capacity gate
     safe = jnp.where(good, slots, L2)
     state = state._replace(
         ln_pluck=state.ln_pluck.at[safe].set(pl_w, mode="drop"),
@@ -390,6 +391,7 @@ def lines_from_points(camera, state: ms.MapState, kf, base_slot):
 
     order = jnp.cumsum(good.astype(jnp.int32)) - 1
     slots = base_slot + order
+    good = good & (slots < L2)  # capacity gate
     safe = jnp.where(good, slots, L2)
     state = state._replace(
         ln_pluck=state.ln_pluck.at[safe].set(pl_w, mode="drop"),
@@ -406,7 +408,8 @@ def lines_from_points(camera, state: ms.MapState, kf, base_slot):
 
 
 @functools.partial(jax.jit, static_argnames=("camera",))
-def triangulate_lines_pair(camera, state: ms.MapState, kf1, kf2, base_slot):
+def triangulate_lines_pair(camera, state: ms.MapState, kf1, kf2, base_slot,
+                           enable=True):
     """Create 3D lines from unassociated segments of two keyframes.
 
     Returns (state, num_created). Mirrors mapping_module's parallel line
@@ -556,10 +559,11 @@ def triangulate_lines_pair(camera, state: ms.MapState, kf1, kf2, base_slot):
     depth_prior_ok = (n_on < 2) | (
         n_agree.astype(jnp.float32) >= 0.5 * n_on.astype(jnp.float32)
     )
-    good = good & depth_prior_ok
+    good = good & depth_prior_ok & enable
 
     order = jnp.cumsum(good.astype(jnp.int32)) - 1
     slots = base_slot + order
+    good = good & (slots < L2)  # capacity gate
     safe = jnp.where(good, slots, L2)
 
     state = state._replace(
@@ -579,6 +583,71 @@ def triangulate_lines_pair(camera, state: ms.MapState, kf1, kf2, base_slot):
     )
     state = state._replace(kf_line_idx=state.kf_line_idx.at[kf2].set(col2))
     return state, jnp.sum(good.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "num_neighbors"))
+def triangulate_lines_with_neighbors(
+    camera, state: ms.MapState, slot, base_slot, *, num_neighbors: int = 3
+):
+    """Two-view line triangulation against the best covisible neighbors of
+    ``slot`` — widest baseline first, requiring baseline >= 3% of scene
+    depth (plane intersection is far more noise-sensitive than point DLT).
+    Selection runs on device so the keyframe chain needs no host sync
+    (reference iterates top covisibilities, mapping_module.cc:359-418).
+
+    Returns (state, num_created_total).
+    """
+    K = state.kf_pose.shape[0]
+    W = ms.covisibility_matrix(state)[slot]
+    W = W.at[slot].set(0)
+    R = state.kf_pose[:, :, :3]
+    t = state.kf_pose[:, :, 3]
+    C = -jnp.einsum("kji,kj->ki", R, t)  # [K, 3]
+    base = jnp.linalg.norm(C - C[slot], axis=-1)
+    from structure_plp_slam_tpu.models import mapper as mapper_mod
+
+    min_base = 0.03 * mapper_mod.map_scale(state, slot)
+    eligible = (W >= 15) & state.kf_valid & (base >= min_base)
+    score = jnp.where(eligible, base, -1.0)
+    s_top, nbs = jax.lax.top_k(score, num_neighbors)
+    next_ln = base_slot
+    for i in range(num_neighbors):
+        state, n_new = triangulate_lines_pair(
+            camera, state, slot, nbs[i], next_ln, enable=s_top[i] > 0.0
+        )
+        next_ln = next_ln + n_new
+    return state, next_ln - base_slot
+
+
+@functools.partial(jax.jit, static_argnames=("camera",))
+def track_lines(camera, state: ms.MapState, seg, seg_desc, seg_valid,
+                pts_w, obs_uv, obs_info, pts_valid, R, t):
+    """Per-frame line tracking as ONE device dispatch: associate detected
+    segments with map lines, refine the pose jointly with points when >= 3
+    lines matched (reference: pose_optimizer_extended_line path), update
+    line visibility statistics.
+
+    Returns (state, R, t, seg_line_idx). With an empty line map the gate
+    is False and the input pose passes through unchanged — no host sync
+    is needed to decide whether line tracking applies.
+    """
+    L2 = state.ln_pluck.shape[0]
+    seg_lines = match_lines_to_frame(
+        camera, state, seg, seg_desc, seg_valid, R, t
+    )
+    gate = jnp.sum(seg_lines >= 0) >= 3
+
+    pl = state.ln_pluck[jnp.clip(seg_lines, 0, L2 - 1)]
+    line_valid = (seg_lines >= 0) & gate
+    R2, t2, line_inl = refine_pose_with_lines(
+        camera, R, t, pts_w, obs_uv, obs_info, pts_valid,
+        pl, seg, line_valid,
+    )
+    R_out = jnp.where(gate, R2, R)
+    t_out = jnp.where(gate, t2, t)
+    seg_lines = jnp.where(gate & ~line_inl, -1, seg_lines)
+    state = update_line_stats(camera, state, seg_lines, R_out, t_out)
+    return state, R_out, t_out, seg_lines
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "num_iters"))

@@ -82,19 +82,30 @@ class LoopCloser:
         self.min_continuity = min_continuity
         self.min_inliers = min_inliers
         self.min_gap = min_gap
-        self._continuity: dict = {}
+        self._continuity: list = []
         self.last_loop_kf = -999
         self.loop_edges: List[Tuple[int, int, np.ndarray, np.ndarray, float]] = []
         self.num_loops_closed = 0
 
     # ------------------------------------------------------------------
     def detect(self, state: ms.MapState, kf: int) -> Optional[int]:
-        """BoW candidate detection with min-score + continuity gating."""
+        """BoW candidate detection with min-score + continuity gating.
+
+        Continuity follows the reference (loop_detector.cc:102-127): a
+        candidate continues a previous round's "candidate cluster" when its
+        covisibility SET intersects that cluster's set; a loop fires only
+        after min_continuity consecutive continuations. One host fetch per
+        call (scores + covisibility + validity together)."""
         if kf - self.last_loop_kf < self.min_gap:
             return None
-        sims = np.array(self.bow.scores_for_slot(state, kf))
-        W = np.array(ms.covisibility_matrix(state)[kf])
-        kf_valid = np.array(state.kf_valid)
+        sims, W_full, kf_valid = (
+            np.asarray(a) for a in jax.device_get((
+                self.bow.scores_for_slot(state, kf),
+                ms.covisibility_matrix(state),
+                state.kf_valid,
+            ))
+        )
+        W = W_full[kf]
         covis = (W >= 15) & kf_valid
         covis[kf] = True
         if covis.sum() > 1:
@@ -103,23 +114,23 @@ class LoopCloser:
             min_score = 0.2
         cand_mask = kf_valid & ~covis & (sims >= max(min_score, 0.1))
         cand_mask[max(0, kf - self.min_gap):] = False
-        cands = set(np.where(cand_mask)[0].tolist())
+        cands = np.where(cand_mask)[0].tolist()
 
-        # Continuity: candidate (or its covisibles) must persist 3 rounds
-        # (loop_detector.cc continuity check).
-        new_cont = {}
+        # self._continuity: list of (covisibility-cluster frozenset, count).
+        prev_clusters = self._continuity if isinstance(self._continuity, list) else []
+        new_clusters = []
+        matured = []
         for c in cands:
-            # Also accept "nearby" keyframe ids from previous rounds as a
-            # continuation of the same physical place (the reference uses
-            # covisibility sets; id-adjacency is the video-trajectory
-            # equivalent).
+            cluster = frozenset(
+                np.where((W_full[c] >= 15) & kf_valid)[0].tolist()
+            ) | {int(c)}
             prev = max(
-                (n for cc, n in self._continuity.items() if abs(cc - c) <= 2),
-                default=0,
+                (n for cl, n in prev_clusters if cl & cluster), default=0
             )
-            new_cont[c] = prev + 1
-        self._continuity = new_cont
-        matured = [c for c, n in new_cont.items() if n >= self.min_continuity]
+            new_clusters.append((cluster, prev + 1))
+            if prev + 1 >= self.min_continuity:
+                matured.append(int(c))
+        self._continuity = new_clusters
         if not matured:
             return None
         # Best-scoring matured candidate.
@@ -200,19 +211,22 @@ class LoopCloser:
         t_new = jnp.where(neigh_j[:, None], t_corr, t_old)
         s_new = jnp.where(neigh_j, s_corr, s_old)
 
-        # Move landmarks of the corrected neighborhood (ref-kf based).
-        lm_ref = jnp.clip(state.lm_ref_kf, 0, K - 1)
-        lm_in_neigh = neigh_j[lm_ref] & state.lm_valid
-        lm_pos2 = pg.correct_landmarks(
-            state.lm_pos, state.lm_ref_kf, lm_in_neigh,
-            R_old, t_old, s_old, R_new, t_new, s_new,
+        # Move landmarks, LINES and PLANES of the corrected neighborhood
+        # through their reference keyframes' Sim3 deltas (reference:
+        # global_optimization_module.cc:233-255 moves landmarks and lines).
+        lm_in_neigh = neigh_j[jnp.clip(state.lm_ref_kf, 0, K - 1)] & state.lm_valid
+        ln_in_neigh = neigh_j[jnp.clip(state.ln_ref_kf, 0, K - 1)] & state.ln_valid
+        pl_in_neigh = neigh_j[jnp.clip(state.pl_ref_kf, 0, K - 1)] & state.pl_valid
+        state = pg.correct_map_structures(
+            state, R_old, t_old, s_old, R_new, t_new, s_new,
+            lm_mask=lm_in_neigh, ln_mask=ln_in_neigh, pl_mask=pl_in_neigh,
         )
 
         # Fold scale into SE3: t /= s (reference: convert Sim3->SE3).
         pose_se3 = jnp.concatenate(
             [R_new, (t_new / jnp.maximum(s_new, 1e-12)[:, None])[:, :, None]], axis=2
         )
-        state = state._replace(kf_pose=pose_se3, lm_pos=lm_pos2)
+        state = state._replace(kf_pose=pose_se3)
 
         # Fuse duplicated landmarks around the current keyframe
         # (global_optimization_module.cc:257-260).
@@ -235,9 +249,20 @@ class LoopCloser:
         # the full keyframe/landmark set.
         from structure_plp_slam_tpu.models import global_ba
 
+        pose_before = state.kf_pose
         state = global_ba.run_global_ba(
             self.camera, state, np.asarray(inv_sigma_sq_table),
             anchor_kf=kf_cand,
+        )
+        # Global BA moves poses and points directly; lines and planes ride
+        # their reference keyframe's pose delta (the reference's loop-BA
+        # propagation corrects lines too, loop_bundle_adjuster.cc:110-145).
+        ones = jnp.ones((K,), jnp.float32)
+        state = pg.correct_map_structures(
+            state,
+            pose_before[:, :, :3], pose_before[:, :, 3], ones,
+            state.kf_pose[:, :, :3], state.kf_pose[:, :, 3], ones,
+            lm_mask=jnp.zeros_like(state.lm_valid),  # points: BA-optimized
         )
         return state
 
@@ -302,12 +327,14 @@ class LoopCloser:
         s_old = prob.s
         R_opt, t_opt, s_opt, _ = pg.optimize_pose_graph(prob)
 
-        lm_pos2 = pg.correct_landmarks(
-            state.lm_pos, state.lm_ref_kf, state.lm_valid,
-            R_old, t_old, s_old, R_opt, t_opt, s_opt,
+        # Landmarks, lines AND planes follow their reference keyframes'
+        # corrections (reference: graph_optimizer.cc "afterwards transforms
+        # landmarks and lines via corrected Sim3s").
+        state = pg.correct_map_structures(
+            state, R_old, t_old, s_old, R_opt, t_opt, s_opt
         )
         pose_se3 = jnp.concatenate(
             [R_opt, (t_opt / jnp.maximum(s_opt, 1e-12)[:, None])[:, :, None]],
             axis=2,
         )
-        return state._replace(kf_pose=pose_se3, lm_pos=lm_pos2)
+        return state._replace(kf_pose=pose_se3)

@@ -112,6 +112,7 @@ def detect_planes(
 
     order = jnp.cumsum(goods.astype(jnp.int32)) - 1
     slots = base_plane_slot + order
+    goods = goods & (slots < P)  # capacity gate
     safe = jnp.where(goods, slots, P)
     state = state._replace(
         pl_coef=state.pl_coef.at[safe].set(coefs, mode="drop"),

@@ -160,3 +160,77 @@ def correct_landmarks(lm_pos, lm_ref_kf, lm_valid, R_old, t_old, s_old,
     sni = 1.0 / jnp.maximum(sn, 1e-12)
     Xw = sni[:, None] * jnp.einsum("lij,lj->li", Rni, Xc - tn)
     return jnp.where(lm_valid[:, None], Xw, lm_pos)
+
+
+def correct_lines(ln_endpoints, ln_pluck, ln_ref_kf, ln_valid,
+                  R_old, t_old, s_old, R_new, t_new, s_new):
+    """Move 3D line landmarks through their reference keyframe's Sim3
+    correction: both world endpoints transform as points, the Plücker
+    coordinates are rebuilt from them (reference:
+    global_optimization_module.cc:233-255 moves landmarks AND lines;
+    graph_optimizer.cc transforms lines via corrected Sim3s).
+
+    Returns (ln_endpoints', ln_pluck')."""
+    from structure_plp_slam_tpu.ops import line_geometry as lg
+
+    e1 = correct_landmarks(ln_endpoints[:, :3], ln_ref_kf, ln_valid,
+                           R_old, t_old, s_old, R_new, t_new, s_new)
+    e2 = correct_landmarks(ln_endpoints[:, 3:], ln_ref_kf, ln_valid,
+                           R_old, t_old, s_old, R_new, t_new, s_new)
+    eps = jnp.concatenate([e1, e2], axis=-1)
+    pluck = jnp.where(
+        ln_valid[:, None], lg.plucker_from_endpoints(e1, e2), ln_pluck
+    )
+    return jnp.where(ln_valid[:, None], eps, ln_endpoints), pluck
+
+
+def correct_planes(pl_coef, pl_ref_kf, pl_valid,
+                   R_old, t_old, s_old, R_new, t_new, s_new):
+    """Move plane landmarks (n, d with n.X + d = 0) through their reference
+    keyframe's Sim3 correction. For the composite point map
+    X' = A X + b with A = (s_o/s_n) R_n^T R_o, b = (1/s_n) R_n^T (t_o-t_n),
+    the plane maps as n' = R_n^T R_o n (unit),
+    d' = (s_o d - n . R_o^T (t_o - t_n)) / s_n — derived from
+    (A^{-T} n) . X' + (d - n . A^{-1} b) = 0 and renormalizing |n'| = 1.
+    """
+    K = R_old.shape[0]
+    ref = jnp.clip(pl_ref_kf, 0, K - 1)
+    Ro, to, so = R_old[ref], t_old[ref], s_old[ref]
+    Rn, tn, sn = R_new[ref], t_new[ref], s_new[ref]
+    n = pl_coef[:, :3]
+    d = pl_coef[:, 3]
+    # n' = R_n^T (R_o n)
+    Ron = jnp.einsum("pij,pj->pi", Ro, n)
+    n_new = jnp.einsum("pji,pj->pi", Rn, Ron)
+    # d - n . A^{-1} b, with A^{-1} b = (1/s_o) R_o^T (t_o - t_n), then
+    # scaled by s_o/s_n to renormalize the (s_n/s_o)-length normal.
+    d_new = (so * d - jnp.einsum(
+        "pi,pi->p", n, jnp.einsum("pji,pj->pi", Ro, to - tn)
+    )) / jnp.maximum(sn, 1e-12)
+    coef = jnp.concatenate([n_new, d_new[:, None]], axis=-1)
+    return jnp.where(pl_valid[:, None], coef, pl_coef)
+
+
+def correct_map_structures(state, R_old, t_old, s_old, R_new, t_new, s_new,
+                           lm_mask=None, ln_mask=None, pl_mask=None):
+    """Apply a per-keyframe Sim3 correction to ALL landmark types —
+    points, lines, planes — through their reference keyframes. Masks
+    default to each type's validity."""
+    lm_mask = state.lm_valid if lm_mask is None else lm_mask
+    ln_mask = state.ln_valid if ln_mask is None else ln_mask
+    pl_mask = state.pl_valid if pl_mask is None else pl_mask
+    lm_pos = correct_landmarks(
+        state.lm_pos, state.lm_ref_kf, lm_mask,
+        R_old, t_old, s_old, R_new, t_new, s_new,
+    )
+    eps, pluck = correct_lines(
+        state.ln_endpoints, state.ln_pluck, state.ln_ref_kf, ln_mask,
+        R_old, t_old, s_old, R_new, t_new, s_new,
+    )
+    pl_coef = correct_planes(
+        state.pl_coef, state.pl_ref_kf, pl_mask,
+        R_old, t_old, s_old, R_new, t_new, s_new,
+    )
+    return state._replace(
+        lm_pos=lm_pos, ln_endpoints=eps, ln_pluck=pluck, pl_coef=pl_coef
+    )
