@@ -1,20 +1,45 @@
-"""Benchmark: tracked frames/sec on one TPU chip (synthetic sequence).
+"""Benchmark: FULL-SYSTEM frames/sec on one TPU chip (synthetic sequence).
 
 Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Baseline: the reference's per-frame tracking cost on CPU. Its authors'
-notes put motion-model tracking at ~4 ms and the drivers pace at dataset
-fps (30); the honest comparable number is the full per-frame pipeline
-(ORB + association + motion-only LM), for which the reference README
-reports real-time (30 fps) operation on CPU. vs_baseline is measured
-frames/s divided by 30.
+What is measured (and why this is the honest number): a sequential feed
+loop through ``System.feed_RGBD_frame`` on a MOVING rendered scene with
+instance-segmentation masks — keyframe insertion, triangulation, fusion,
+plane RANSAC, local BA and loop detection all run INSIDE the timed loop,
+exactly as a user runs the system. The reference's headline is the same
+protocol: per-frame wall time of ``run_slam_planeSeg``
+(example/run_slam_planeSeg.cc:196-199 prints median/mean track time; its
+mapping runs concurrently on other threads, so its per-frame number also
+absorbs the whole pipeline at steady state). Baseline: the reference
+paces datasets at 30 fps on CPU and reports real-time operation, so
+vs_baseline = full-system fps / 30.
+
+Extra keys reported alongside the headline:
+  tracking_fps      — same sequence against the frozen map (mapping
+                      disabled): the pure per-frame tracking latency.
+  ba_iters_per_sec  — local-BA Gauss-Newton iterations/second at the
+                      production window size (BASELINE.json names this).
+  keyframes         — keyframes actually inserted in the timed run
+                      (proof the mapping path was exercised).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def make_system(cam_cfg, enable_mapping=True):
+    from structure_plp_slam_tpu.system import System
+
+    return System(
+        cam_cfg,
+        max_keyframes=64,
+        max_landmarks=16384,
+        enable_mapping=enable_mapping,
+    )
 
 
 def main(breakdown: bool = False):
@@ -22,15 +47,16 @@ def main(breakdown: bool = False):
     import jax.numpy as jnp
 
     from structure_plp_slam_tpu.camera import Camera, CameraModel, CameraSetup
-    from structure_plp_slam_tpu.data import map_state as ms
-    from structure_plp_slam_tpu.models import frontend as frontend_mod
-    from structure_plp_slam_tpu.models import tracker
+    from structure_plp_slam_tpu.config import Config
     from structure_plp_slam_tpu.ops.orb import OrbParams
 
-    # TUM-like geometry: 640x480, 1000 keypoints, 8 levels.
+    sys.path.insert(0, ".")
+    from tests import synthetic_scene as sc
+
+    # TUM-like geometry: 640x480, 1000 keypoints, 8 levels, RGB-D.
     cam = Camera(
         name="bench",
-        setup=CameraSetup.MONOCULAR,
+        setup=CameraSetup.RGBD,
         model=CameraModel.PERSPECTIVE,
         cols=640,
         rows=480,
@@ -38,130 +64,106 @@ def main(breakdown: bool = False):
         fy=525.0,
         cx=319.5,
         cy=239.5,
+        fps=30.0,
+        focal_x_baseline=40.0,
+        depth_threshold=40.0,
+        depthmap_factor=1.0,
     )
-    orb = OrbParams(max_num_keypts=1000, num_levels=8)
-    fe = frontend_mod.Frontend(cam, orb, pad_to=1024 + 512)
+    cfg = Config(camera=cam, orb=OrbParams(max_num_keypts=1000, num_levels=8),
+                 raw={})
 
+    # Pre-render the sequence on the host (outside the timed loop): a
+    # forward-arc trajectory over the textured two-plane scene, plus a
+    # PlaneRecNet-style instance mask per frame (near plane=1, far=2).
+    n_frames = 96
     rng = np.random.default_rng(0)
-    imgs = []
-    base = rng.uniform(0, 255, size=(480, 640)).astype(np.float32)
-    for i in range(8):
-        imgs.append(np.roll(base, shift=3 * i, axis=1))
+    tex = sc.make_texture(rng)
+    poses = sc.trajectory(n_frames, step=0.05)
+    frames = []
+    for i, (R, t) in enumerate(poses):
+        img, depth = sc.render(cam, tex, R, t)
+        seg = np.where(depth < 4.5, 1, 2).astype(np.int32)
+        frames.append((img, depth, seg, float(i) / 30.0))
 
-    # A populated map for the tracking step.
-    K, N, L = 64, fe.pad_to, 16384
-    state = ms.create(K, N, L)
-    feats0 = fe.mono(imgs[0])
-    state = ms.add_keyframe(
-        state,
-        0,
-        jnp.concatenate([jnp.eye(3, dtype=jnp.float32), jnp.zeros((3, 1), jnp.float32)], 1),
-        0.0,
-        feats0,
-        jnp.where(feats0["valid"], jnp.arange(N, dtype=jnp.int32), -1),
-    )
-    pts = np.concatenate(
-        [rng.uniform(-3, 3, (L, 2)), rng.uniform(3, 9, (L, 1))], axis=1
-    ).astype(np.float32)
-    state = state._replace(
-        lm_pos=jnp.asarray(pts),
-        lm_valid=jnp.ones((L,), bool),
-        lm_desc=feats0["desc"][jnp.arange(L) % N],
-        lm_dist_min=jnp.full((L,), 0.5, jnp.float32),
-        lm_dist_max=jnp.full((L,), 40.0, jnp.float32),
-    )
-    R = jnp.eye(3, dtype=jnp.float32)
-    t = jnp.zeros((3,), jnp.float32)
-    last = state.kf_lm_idx[0]
+    # ---- full system: warmup pass compiles every stage (incl. the
+    # keyframe chain, local BA, plane fitting, loop detection) ----------
+    slam = make_system(cfg)
+    slam.startup()
+    for img, depth, seg, ts in frames:
+        slam.feed_RGBD_frame(img, depth, ts, seg_mask=seg)
+    warm_metrics = slam.metrics()
+    slam.shutdown()
 
-    from structure_plp_slam_tpu.data import map_state as ms
-
-    ind = ms.observation_indicator(state)
-
-    def step(img, R, t, last):
-        feats = fe.mono(img)
-        return tracker.track_frame(
-            cam, state, feats, R, t, last, jnp.int32(0), fe.inv_sigma_sq,
-            ind, num_levels=8, scale_factor=1.2,
-        )
-
-    # Warmup/compile.
-    out = step(imgs[0], R, t, last)
-    out.R.block_until_ready()
-
-    # Sequential WITH pose feedback: frame i consumes frame i-1's pose and
-    # associations, exactly like live tracking — no pipelining flattery.
-    n_iter = 60
-    Rc, tc, lastc = R, t, last
+    # Timed run: fresh system, same shapes -> fully cached executables.
+    slam = make_system(cfg)
+    slam.startup()
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        out = step(imgs[i % len(imgs)], Rc, tc, lastc)
-        Rc, tc, lastc = out.R, out.t, out.kp_lm
-    out.R.block_until_ready()
-    dt = time.perf_counter() - t0
-    fps = n_iter / dt
+    for img, depth, seg, ts in frames:
+        slam.feed_RGBD_frame(img, depth, ts, seg_mask=seg)
+    dt_full = time.perf_counter() - t0
+    full_fps = n_frames / dt_full
+    m = slam.metrics()
+
+    # ---- tracking-only: same frames against the frozen map ------------
+    slam.enable_mapping = False
+    slam.enable_loop_closing = False
+    t0 = time.perf_counter()
+    for img, depth, seg, ts in frames:
+        slam.feed_RGBD_frame(img, depth, ts)
+    dt_track = time.perf_counter() - t0
+    track_fps = n_frames / dt_track
+
+    # ---- BA iterations/second at the production window size -----------
+    from structure_plp_slam_tpu.models import mapper
+
+    last_kf = max(int(np.asarray(slam.state.kf_valid).sum()) - 1, 1)
+    st, _ = mapper.local_ba(cam, slam.state, last_kf, slam.frontend.inv_sigma_sq)
+    st.kf_pose.block_until_ready()  # compile
+    n_calls, ba_iters_per_call = 5, 15
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        st, _ = mapper.local_ba(cam, slam.state, last_kf,
+                                slam.frontend.inv_sigma_sq)
+    st.kf_pose.block_until_ready()
+    ba_ips = n_calls * ba_iters_per_call / (time.perf_counter() - t0)
+    slam.shutdown()
 
     if breakdown:
-        import jax
+        from structure_plp_slam_tpu.models import frontend as frontend_mod
 
-        def timeit(fn, *args, n=30):
-            # Amortized device time over a dispatch chain. Per-call
-            # blocking would measure the host<->device sync round trip
-            # (milliseconds of tunnel RTT in this environment), not the
-            # kernel; the chain amortizes that away. The headline fps
-            # below is the honest end-to-end number (sequential WITH
-            # pose feedback, one final sync).
-            r = fn(*args)
-            jax.tree_util.tree_leaves(r)[0].block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(n):
-                r = fn(*args)
-            jax.tree_util.tree_leaves(r)[0].block_until_ready()
-            return (time.perf_counter() - t0) / n * 1000.0
-
-        from structure_plp_slam_tpu.ops import matching as m
-        from structure_plp_slam_tpu.models import pose_opt
-
-        img0 = jnp.asarray(imgs[0])
-        t_fe = timeit(fe.mono, img0)
-        feats = fe.mono(img0)
-        kp_bits = m.unpack_desc_bits(feats["desc"])
-        lm_bits = m.unpack_desc_bits(state.lm_desc)
-        t_mat = timeit(
-            jax.jit(
-                lambda a, b: m.distance_matrix_mxu(a, b, state.lm_valid, feats["valid"])
-            ),
-            lm_bits,
-            kp_bits,
-        )
-        pts = state.lm_pos[jnp.clip(last, 0, L - 1)]
-        t_po = timeit(
-            lambda: pose_opt.optimize_pose(
-                cam, R, t, pts, feats["xy"], feats["xr"],
-                fe.obs_inv_sigma_sq(feats["level"]), last >= 0,
-            )
-        )
-        t_full = timeit(lambda im: step(im, R, t, last), imgs[0])
+        img0 = frames[0][0]
+        fe = slam.frontend
+        r = fe.rgbd(img0, frames[0][1])
+        jax.tree_util.tree_leaves(r)[0].block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(30):
+            r = fe.rgbd(img0, frames[0][1])
+        jax.tree_util.tree_leaves(r)[0].block_until_ready()
+        t_fe = (time.perf_counter() - t0) / 30 * 1000.0
         print(json.dumps({
             "frontend_ms": round(t_fe, 3),
-            "dist_matmul_ms": round(t_mat, 3),
-            "pose_opt_ms": round(t_po, 3),
-            "full_track_ms": round(t_full, 3),
+            "full_ms_per_frame": round(dt_full / n_frames * 1000.0, 3),
+            "track_ms_per_frame": round(dt_track / n_frames * 1000.0, 3),
+            "warmup_metrics": {k: v for k, v in warm_metrics.items()
+                               if isinstance(v, (int, float))},
         }))
 
     print(
         json.dumps(
             {
-                "metric": "tracked_frames_per_sec_1chip",
-                "value": round(fps, 2),
+                "metric": "full_system_frames_per_sec_1chip",
+                "value": round(full_fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 3),
+                "vs_baseline": round(full_fps / 30.0, 3),
+                "tracking_fps": round(track_fps, 2),
+                "ba_iters_per_sec": round(ba_ips, 1),
+                "keyframes": int(m["keyframes"]),
+                "landmarks": int(m["landmarks"]),
+                "planes": int(m["planes"]),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    import sys
-
     main(breakdown="--breakdown" in sys.argv)

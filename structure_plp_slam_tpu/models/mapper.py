@@ -53,11 +53,19 @@ def insert_keyframe(
     """
     state = ms.add_keyframe(state, slot, pose, timestamp, feats, kp_lm)
 
-    depth_ok = (
-        (feats["depth"] > 1e-6)
-        & (feats["depth"] < camera.true_depth_threshold)
-        & feats["valid"]
-        & (kp_lm < 0)
+    n_kp = feats["xy"].shape[0]
+    L = state.lm_pos.shape[0]
+    seedable = (feats["depth"] > 1e-6) & feats["valid"] & (kp_lm < 0)
+    # Reference behavior (keyframe_inserter.cc:166-180): create from the
+    # NEAREST depths — everything under the true-depth threshold, plus the
+    # closest 100 even beyond it (far seeds stabilize rotation when close
+    # structure is scarce).
+    d_sort = jnp.where(seedable, feats["depth"], jnp.inf)
+    rank = jnp.zeros((n_kp,), jnp.int32).at[jnp.argsort(d_sort)].set(
+        jnp.arange(n_kp, dtype=jnp.int32)
+    )
+    depth_ok = seedable & (
+        (feats["depth"] < camera.true_depth_threshold) | (rank < 100)
     )
     # Back-project: world = R^T (z * K^-1 uv~ - t).
     R, t = pose[:, :3], pose[:, 3]
@@ -70,6 +78,7 @@ def insert_keyframe(
     n = feats["xy"].shape[0]
     order = jnp.cumsum(depth_ok.astype(jnp.int32)) - 1
     slots = base_lm_slot + order
+    depth_ok = depth_ok & (slots < L)  # capacity gate (count stays honest)
     dist = jnp.linalg.norm(pc, axis=-1)
     level_scale = jnp.power(1.2, feats["level"].astype(jnp.float32))
     dist_max = dist * level_scale
@@ -105,6 +114,7 @@ def triangulate_pair(
     kf1,
     kf2,
     base_lm_slot,
+    enable=True,
     *,
     scale_factor: float = 1.2,
 ):
@@ -112,6 +122,10 @@ def triangulate_pair(
     along epipolar lines and triangulating (reference:
     mapping_module.cc:359-601 create_new_landmarks +
     match::robust::match_for_triangulation + two_view_triangulator).
+
+    ``enable``: traced bool — a False value makes the call a no-op, which
+    lets :func:`triangulate_with_neighbors` run a static-count neighbor
+    loop fully on device (no host sync to decide neighbor eligibility).
 
     Returns (state, num_created).
     """
@@ -170,10 +184,12 @@ def triangulate_pair(
     rp_ok = reproj_ok(pts_c1, kf1, None) & reproj_ok(pts_c2, kf2, best)
     par = jnp.sum((b1 @ R_21.T) * b2m, axis=-1)
     parallax_ok = par < 0.99995
-    good = ok & depth_ok & rp_ok & parallax_ok & free1
+    good = ok & depth_ok & rp_ok & parallax_ok & free1 & enable
 
     order = jnp.cumsum(good.astype(jnp.int32)) - 1
     slots = base_lm_slot + order
+    L_cap = state.lm_pos.shape[0]
+    good = good & (slots < L_cap)  # capacity gate
     dist = jnp.linalg.norm(pts_c1, axis=-1)
     level_scale = jnp.power(scale_factor, state.kf_level[kf1].astype(jnp.float32))
     dist_max = dist * level_scale
@@ -202,6 +218,75 @@ def triangulate_pair(
     )
     state = state._replace(kf_lm_idx=state.kf_lm_idx.at[kf2].set(kf2_new))
     return state, jnp.sum(good.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "num_neighbors"))
+def triangulate_with_neighbors(
+    camera, state: ms.MapState, slot, base_lm_slot, *, num_neighbors: int = 2
+):
+    """Triangulate new landmarks with the top covisible neighbors of
+    ``slot`` — neighbor SELECTION happens on device (covisibility top-k,
+    weight >= 15 gate), so the whole creation chain dispatches with no
+    host round-trip (the reference iterates top-10/20 covisibilities,
+    mapping_module.cc:359-418).
+
+    Returns (state, num_created_total).
+    """
+    W = ms.covisibility_matrix(state)[slot]
+    W = W.at[slot].set(0)
+    W = jnp.where(state.kf_valid, W, 0)
+    w_top, nbs = jax.lax.top_k(W, num_neighbors)
+    next_lm = base_lm_slot
+    for i in range(num_neighbors):
+        state, n_new = triangulate_pair(
+            camera, state, slot, nbs[i], next_lm, enable=w_top[i] >= 15
+        )
+        next_lm = next_lm + n_new
+    return state, next_lm - base_lm_slot
+
+
+@jax.jit
+def map_scale(state: ms.MapState, kf):
+    """Median camera-frame landmark distance of keyframe ``kf`` — the map
+    scale estimate for plane/baseline thresholds (reference:
+    estimate_map_scale, planar_mapping_module.cc:130-183). Falls back to
+    1.0 with < 10 observations."""
+    L = state.lm_pos.shape[0]
+    lm = state.kf_lm_idx[kf]
+    ok = (lm >= 0) & state.kf_kp_valid[kf]
+    pose = state.kf_pose[kf]
+    pts = state.lm_pos[jnp.clip(lm, 0, L - 1)]
+    pc = pts @ pose[:, :3].T + pose[:, 3]
+    d = jnp.linalg.norm(pc, axis=-1)
+    cnt = jnp.sum(ok)
+    d_sorted = jnp.sort(jnp.where(ok, d, jnp.inf))
+    med = d_sorted[jnp.clip((cnt - 1) // 2, 0, d.shape[0] - 1)]
+    return jnp.where(cnt >= 10, jnp.maximum(med, 1e-3), 1.0)
+
+
+@jax.jit
+def update_landmark_normals(state: ms.MapState):
+    """Refresh each landmark's mean viewing direction over its CURRENT
+    observers (reference: landmark::update_normal_and_depth averages unit
+    cam->point directions over all observations; landmark.h:105-110).
+
+    TPU form: one indicator matmul. The average here weights each observer
+    by 1 before normalizing the SUM of (X - C_k) — equivalent up to the
+    per-ray 1/|X - C_k| weights, which only matters for extreme depth
+    ratios between observers."""
+    ind = ms.observation_indicator(state)  # [K, L]
+    R = state.kf_pose[:, :, :3]
+    t = state.kf_pose[:, :, 3]
+    C = -jnp.einsum("kji,kj->ki", R, t)  # [K, 3] camera centers
+    n_obs = jnp.sum(ind, axis=0)  # [L]
+    sum_C = jnp.einsum("kl,ki->li", ind, C)  # [L, 3]
+    dir_sum = n_obs[:, None] * state.lm_pos - sum_C
+    norm = jnp.linalg.norm(dir_sum, axis=-1, keepdims=True)
+    new_normal = dir_sum / jnp.maximum(norm, 1e-9)
+    keep = (n_obs > 0) & state.lm_valid
+    return state._replace(
+        lm_normal=jnp.where(keep[:, None], new_normal, state.lm_normal)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -444,5 +529,22 @@ def local_ba(
     kf_lm = kf_lm.at[jnp.clip(cams, 0, K - 1)[:, None], jnp.arange(N)[None, :]].set(
         jnp.where(bad_obs, -1, obs_lm_g)
     )
+    old_pose = state.kf_pose
     state = state._replace(kf_pose=new_pose, lm_pos=new_lm, kf_lm_idx=kf_lm)
+
+    # Lines and planes ride their reference keyframe's pose delta so the
+    # structural map stays consistent with the optimized poses (points are
+    # BA variables; keyframes outside the window have identity deltas).
+    # The reference optimizes lines INSIDE BA
+    # (local_bundle_adjuster_extended_line.cc); the joint point+line solve
+    # here lives in line_ba.refine_lines, run right after this.
+    from structure_plp_slam_tpu.models import pose_graph as pg
+
+    ones = jnp.ones((K,), jnp.float32)
+    state = pg.correct_map_structures(
+        state,
+        old_pose[:, :, :3], old_pose[:, :, 3], ones,
+        new_pose[:, :, :3], new_pose[:, :, 3], ones,
+        lm_mask=jnp.zeros_like(state.lm_valid),
+    )
     return state, result.chi2

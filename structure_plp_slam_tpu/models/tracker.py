@@ -38,6 +38,12 @@ class TrackResult(NamedTuple):
     ref_kf: jax.Array       # i32 keyframe sharing most landmarks
     lm_vis: jax.Array       # [L] bool landmarks predicted visible (stats)
     lm_fnd: jax.Array       # [L] bool landmarks actually matched (stats)
+    # Keyframe-decision inputs (keyframe_inserter.cc:54-114), computed on
+    # device so the host fetches ONE tuple per frame instead of issuing a
+    # second dispatch+sync:
+    ref_tracked: jax.Array      # i32 reliable landmarks in ref_kf (>= min_obs)
+    n_close_tracked: jax.Array  # i32 close-depth keypoints with a landmark
+    n_close_untracked: jax.Array  # i32 close-depth keypoints without one
 
 
 def _project_landmarks(camera, R, t, lm_pos):
@@ -96,6 +102,7 @@ def track_frame(
     prev_ref_kf,
     inv_sigma_sq_table,
     obs_indicator,
+    min_obs=jnp.int32(3),
     *,
     num_levels: int = 8,
     scale_factor: float = 1.2,
@@ -322,6 +329,25 @@ def track_frame(
         kp_lm_final >= 0
     )
 
+    # ---------------- keyframe-decision inputs ----------------------------
+    # Reliable landmarks of the reference keyframe: observed by >= min_obs
+    # keyframes (keyframe_inserter.cc:66-69 get_num_tracked_landmarks).
+    counts = jnp.sum(ind, axis=0).astype(jnp.int32)
+    ref_lm = state.kf_lm_idx[ref_kf]
+    ref_has = (ref_lm >= 0) & state.kf_kp_valid[ref_kf]
+    ref_tracked = jnp.sum(
+        ref_has & (counts[jnp.clip(ref_lm, 0, None)] >= min_obs)
+    )
+    # Close-point counts for the stereo/RGB-D insertion condition
+    # (ORB-SLAM2 bNeedToInsertClose; depth < true depth threshold).
+    close = (
+        kp_valid
+        & (feats["depth"] > 1e-6)
+        & (feats["depth"] < camera.true_depth_threshold)
+    )
+    n_close_tracked = jnp.sum(close & (kp_lm_final >= 0))
+    n_close_untracked = jnp.sum(close & (kp_lm_final < 0))
+
     return TrackResult(
         R=res2.R,
         t=res2.t,
@@ -330,6 +356,9 @@ def track_frame(
         ref_kf=ref_kf,
         lm_vis=vis_mask,
         lm_fnd=lm_fnd,
+        ref_tracked=ref_tracked,
+        n_close_tracked=n_close_tracked,
+        n_close_untracked=n_close_untracked,
     )
 
 

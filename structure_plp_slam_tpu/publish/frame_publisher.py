@@ -32,30 +32,48 @@ class FrameSnapshot:
 class FramePublisher:
     def __init__(self):
         self._snap = FrameSnapshot()
+        self._raw = None
 
     def update(self, *, image, kp_xy, kp_valid, kp_has_landmark,
                kp_plane=None, segments=None, seg_valid=None,
                state="Tracking", num_tracked=0, timestamp=0.0):
-        self._snap = FrameSnapshot(
-            image=np.asarray(image),
-            kp_xy=np.asarray(kp_xy),
-            kp_valid=np.asarray(kp_valid),
-            kp_has_landmark=np.asarray(kp_has_landmark),
-            kp_plane=None if kp_plane is None else np.asarray(kp_plane),
-            segments=None if segments is None else np.asarray(segments),
-            seg_valid=None if seg_valid is None else np.asarray(seg_valid),
-            state=state,
-            num_tracked=int(num_tracked),
-            timestamp=float(timestamp),
+        """Store the latest frame's references. Device arrays are NOT
+        pulled to the host here — update() runs on the hot tracking path
+        every frame; materialization happens in snapshot() when a viewer
+        actually polls (the reference's copy-under-mutex becomes
+        copy-on-read)."""
+        self._raw = dict(
+            image=image, kp_xy=kp_xy, kp_valid=kp_valid,
+            kp_has_landmark=kp_has_landmark, kp_plane=kp_plane,
+            segments=segments, seg_valid=seg_valid, state=state,
+            num_tracked=num_tracked, timestamp=timestamp,
         )
 
     def snapshot(self) -> FrameSnapshot:
+        raw = self._raw
+        if raw is not None:
+            self._snap = FrameSnapshot(
+                image=np.asarray(raw["image"]),
+                kp_xy=np.asarray(raw["kp_xy"]),
+                kp_valid=np.asarray(raw["kp_valid"]),
+                kp_has_landmark=np.asarray(raw["kp_has_landmark"]),
+                kp_plane=(None if raw["kp_plane"] is None
+                          else np.asarray(raw["kp_plane"])),
+                segments=(None if raw["segments"] is None
+                          else np.asarray(raw["segments"])),
+                seg_valid=(None if raw["seg_valid"] is None
+                           else np.asarray(raw["seg_valid"])),
+                state=raw["state"],
+                num_tracked=int(raw["num_tracked"]),
+                timestamp=float(raw["timestamp"]),
+            )
+            self._raw = None
         return self._snap
 
     def draw_frame(self) -> Optional[np.ndarray]:
         """RGB uint8 visualization (reference: frame_publisher draw_tracked
         points; plane-owned points get distinct colors)."""
-        s = self._snap
+        s = self.snapshot()
         if s.image is None:
             return None
         img = np.clip(s.image, 0, 255).astype(np.uint8)

@@ -20,11 +20,14 @@ class MapPublisher:
         self._current_pose: Optional[np.ndarray] = None
 
     # -- reference API parity ------------------------------------------
-    def set_current_cam_pose(self, pose_cw: np.ndarray):
-        self._current_pose = np.asarray(pose_cw)
+    def set_current_cam_pose(self, pose_cw):
+        # Store the reference only — this runs on the hot tracking path
+        # every frame; the host pull happens when a viewer reads.
+        self._current_pose = pose_cw
 
     def get_current_cam_pose(self) -> Optional[np.ndarray]:
-        return self._current_pose
+        p = self._current_pose
+        return None if p is None else np.asarray(p)
 
     def snapshot(self) -> "MapSnapshot":
         """One consistent capture of the map for viewer threads.
@@ -100,7 +103,8 @@ class MapSnapshot:
         self._current_pose = current_pose
 
     def get_current_cam_pose(self) -> Optional[np.ndarray]:
-        return self._current_pose
+        p = self._current_pose
+        return None if p is None else np.asarray(p)
 
     def get_landmarks(self) -> np.ndarray:
         st = self._state

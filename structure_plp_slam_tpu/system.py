@@ -65,13 +65,18 @@ class System:
         with_lines: bool = False,
         num_triangulation_neighbors: int = 2,
         max_kf_interval: Optional[int] = None,
+        min_kf_interval: int = 0,
     ):
-        # Condition A1 of the keyframe decision (keyframe_inserter.cc:76):
-        # force a keyframe when this many frames passed since the last one.
-        # The reference uses the camera fps.
+        # Conditions A1/A2 of the keyframe decision
+        # (keyframe_inserter.cc:76-81): A1 forces a keyframe after
+        # max_kf_interval frames (reference default: camera fps); A2 allows
+        # one after min_kf_interval frames when the mapper is idle
+        # (reference default 0 — and mapping runs inline here, so idle is
+        # always true).
         self.max_kf_interval = (
             max_kf_interval if max_kf_interval is not None else int(config.camera.fps)
         )
+        self.min_kf_interval = min_kf_interval
         self.config = config
         self.camera = config.camera
         cap = round_up(
@@ -239,6 +244,14 @@ class System:
         R_pred = Rv @ Rp
         t_pred = Rv @ tp + tv
 
+        # min_obs for the reliable-landmark count relaxes while the map is
+        # young (keyframe_inserter.cc:66-67 uses 3/2; here the young-map
+        # value is 1: after a depth-seeded single-keyframe init every
+        # landmark has exactly ONE observation, so min_obs=2 would make
+        # ref_tracked 0 and block condition B — the reference escapes that
+        # through its close-point condition on real depth ranges, which a
+        # wide depth threshold defeats).
+        min_obs = 3 if self.next_kf >= 3 else 1
         res = tracker.track_frame(
             self.camera,
             self.state,
@@ -249,14 +262,24 @@ class System:
             jnp.int32(self.ref_kf),
             self.frontend.inv_sigma_sq,
             self._obs_indicator(),
+            jnp.int32(min_obs),
             num_levels=self.frontend.extractor.params.num_levels,
             scale_factor=self.frontend.extractor.params.scale_factor,
+        )
+        # ONE host fetch per frame: everything the keyframe decision and
+        # the Lost check need comes back together (each device_get is a
+        # host<->device round trip — the expensive resource here).
+        (num_tracked, ref_tracked, n_close_trk, n_close_untrk, ref_kf_host,
+         next_lm_host) = (
+            int(v) for v in jax.device_get((
+                res.num_tracked, res.ref_tracked, res.n_close_tracked,
+                res.n_close_untracked, res.ref_kf, self.next_lm,
+            ))
         )
         # Reference acceptance: local-map tracking must keep >= 30 inliers
         # (frame_tracker/ORB-SLAM thresholds); below that the pose is
         # unreliable even if self-consistent, so declare Lost and try to
         # relocalize rather than inserting garbage keyframes.
-        num_tracked = int(res.num_tracked)
         if num_tracked < 30:
             # Lost: try relocalization against the retrieval index
             # (reference: tracking_module.cc:651-657 -> relocalizer.cc).
@@ -298,36 +321,25 @@ class System:
             lm_n_fnd=st.lm_n_fnd + res.lm_fnd.astype(jnp.int32),
         )
 
-        # Line tracking: associate map lines and refine the pose jointly
-        # (reference: pose_optimizer_extended_line path).
+        # Line tracking: associate map lines and refine the pose jointly —
+        # ONE device dispatch, internally gated on >= 3 line matches so no
+        # host sync decides whether it applies (reference:
+        # pose_optimizer_extended_line path).
         self._seg_line_idx = None
-        R_res, t_res = res.R, res.t
-        if self.with_lines and self.next_line > 0:
+        if self.with_lines:
             from structure_plp_slam_tpu.models import line_mapper
 
-            seg_lines = line_mapper.match_lines_to_frame(
+            L = self.state.lm_pos.shape[0]
+            pts = self.state.lm_pos[jnp.clip(res.kp_lm, 0, L - 1)]
+            info = self.frontend.obs_inv_sigma_sq(feats["level"])
+            self.state, R_res, t_res, seg_lines = line_mapper.track_lines(
                 self.camera, self.state,
                 feats["seg"], feats["seg_desc"], feats["seg_valid"],
-                R_res, t_res,
+                pts, feats["xy"], info,
+                (res.kp_lm >= 0) & feats["valid"],
+                res.R, res.t,
             )
-            if int((np.asarray(seg_lines) >= 0).sum()) >= 3:
-                L = self.state.lm_pos.shape[0]
-                pts = self.state.lm_pos[jnp.clip(res.kp_lm, 0, L - 1)]
-                info = self.frontend.obs_inv_sigma_sq(feats["level"])
-                L2 = self.state.ln_pluck.shape[0]
-                pl = self.state.ln_pluck[jnp.clip(seg_lines, 0, L2 - 1)]
-                R2, t2, line_inl = line_mapper.refine_pose_with_lines(
-                    self.camera, R_res, t_res,
-                    pts, feats["xy"], info,
-                    (res.kp_lm >= 0) & feats["valid"],
-                    pl, feats["seg"], seg_lines >= 0,
-                )
-                R_res, t_res = R2, t2
-                seg_lines = jnp.where(line_inl, seg_lines, -1)
             self._seg_line_idx = seg_lines
-            self.state = line_mapper.update_line_stats(
-                self.camera, self.state, seg_lines, R_res, t_res
-            )
             res = res._replace(R=R_res, t=t_res)
 
         # Motion model update.
@@ -339,30 +351,39 @@ class System:
         )
         self.pose = (R_new, t_new)
         self.last_kp_lm = res.kp_lm
-        self.ref_kf = int(res.ref_kf)
+        self.ref_kf = ref_kf_host
         self.frames_since_kf += 1
-        self._publish(feats, res.kp_lm, ts)
+        self._publish(feats, res.kp_lm, ts, num_tracked)
 
-        # Keyframe decision (reference: keyframe_inserter.cc:54-114
-        # condition B: tracked < 0.9 * reliable-in-ref; A-conditions are
-        # satisfied by construction since mapping is synchronous).
+        # Keyframe decision (reference: keyframe_inserter.cc:54-114).
+        # Condition B (required): enough matches, and either the tracked
+        # fraction of the reference's reliable landmarks dropped below 0.9
+        # or (stereo/RGB-D) close points demand insertion (ORB-SLAM2's
+        # bNeedToInsertClose). A-conditions: A1 max-interval, A2
+        # min-interval + mapper idle (mapping runs inline here, so idle is
+        # always true), A3 viewpoint moved hard (< 0.25 of reliable).
+        # Deliberate deviation: A1 also forces a keyframe WITHOUT cond B —
+        # the reference bounds drift through mapper busy-ness we don't
+        # have; on an inline pipeline the fps-interval force is the analog.
         if self.enable_mapping and self.next_kf < self.max_keyframes:
-            min_obs = 3 if self.next_kf > 2 else 1
-            ref_tracked = int(
-                tracker.count_trackable_in_ref(
-                    self.camera, self.state, res.ref_kf, min_obs,
-                    self._obs_indicator(),
-                )
+            lm_headroom = (
+                next_lm_host < self.max_landmarks - 2 * self.frontend.pad_to
             )
-            lm_headroom = self.next_lm < self.max_landmarks - 2 * self.frontend.pad_to
-            cond_b = num_tracked < 0.9 * max(ref_tracked, 1)
+            close_needed = (
+                self.camera.setup is not CameraSetup.MONOCULAR
+                and n_close_trk < 100
+                and n_close_untrk > 70
+            )
+            cond_b = num_tracked >= 15 and (
+                num_tracked < 0.9 * max(ref_tracked, 1) or close_needed
+            )
             cond_a1 = self.frames_since_kf >= self.max_kf_interval
+            cond_a2 = self.frames_since_kf >= self.min_kf_interval
+            cond_a3 = num_tracked < 0.25 * max(ref_tracked, 1)
             need = (
-                (cond_b or cond_a1)
-                and num_tracked > 15
-                and self.frames_since_kf >= 1
-                and lm_headroom
-            )
+                (cond_b and (cond_a1 or cond_a2 or cond_a3))
+                or (cond_a1 and num_tracked >= 15)
+            ) and lm_headroom
             if need:
                 self._insert_keyframe(feats, ts, res)
 
@@ -497,125 +518,86 @@ class System:
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, feats, ts: float, res: tracker.TrackResult):
+        """Keyframe processing chain — the reference mapping thread's work
+        (mapping_module.cc:193-285) as a sequence of jitted dispatches with
+        ZERO host syncs in between: slot counters stay on device and flow
+        from one stage to the next, so the host issues the entire chain and
+        returns. The only host reads happen afterwards (loop detection and
+        viewer publishing), once all device work is already queued. Local
+        state is mutated only at the very end to keep the chain re-entrant.
+        """
         slot = self.next_kf
         pose = jnp.concatenate([res.R, res.t[:, None]], 1)
-        self.state, created = mapper.insert_keyframe(
-            self.camera, self.state, slot, pose, ts, feats, res.kp_lm, self.next_lm
+        st = self.state
+        st, created = mapper.insert_keyframe(
+            self.camera, st, slot, pose, ts, feats, res.kp_lm, self.next_lm
         )
+        next_lm = self.next_lm + created
         self.next_kf += 1
-        self.next_lm += int(created)
         self.frames_since_kf = 0
 
         # Landmark culling for recent landmarks.
-        self.state, _ = mapper.cull_landmarks(self.state, slot)
+        st, _ = mapper.cull_landmarks(st, slot)
 
         # Two-view triangulation with top covisible neighbors — all setups:
         # depth-seeded maps still gain far points beyond the depth range
         # (reference: mapping_module create_new_landmarks runs for every
-        # setup, mapping_module.cc:359-418).
-        if True:
-            W = np.array(ms.covisibility_matrix(self.state)[slot])
-            W[slot] = 0
-            order = np.argsort(-W)
-            neighbors = [int(k) for k in order[: self.num_tri_neighbors] if W[k] >= 15]
-            for nb in neighbors:
-                if self.next_lm >= self.max_landmarks - self.frontend.pad_to:
-                    break
-                self.state, n_new = mapper.triangulate_pair(
-                    self.camera, self.state, slot, nb, self.next_lm
-                )
-                self.next_lm += int(n_new)
+        # setup, mapping_module.cc:359-418). Neighbor selection happens
+        # inside the jit.
+        st, n_tri = mapper.triangulate_with_neighbors(
+            self.camera, st, slot, next_lm,
+            num_neighbors=self.num_tri_neighbors,
+        )
+        next_lm = next_lm + n_tri
 
-        # Line landmarks: register tracked associations, then triangulate
-        # new lines with the best covisible neighbor (reference: parallel
-        # line-triangulation thread, mapping_module.cc:407-408).
+        # Line landmarks: register tracked associations, then create lines
+        # from depth / point anchors / two-view intersection (reference:
+        # parallel line-triangulation thread, mapping_module.cc:407-408).
+        # Capacity limits are in-jit gates; counters stay on device.
         if self.with_lines:
             from structure_plp_slam_tpu.models import line_mapper
 
+            next_line = self.next_line
             if self._seg_line_idx is not None:
-                self.state = self.state._replace(
-                    kf_line_idx=self.state.kf_line_idx.at[slot].set(
-                        self._seg_line_idx
-                    )
+                st = st._replace(
+                    kf_line_idx=st.kf_line_idx.at[slot].set(self._seg_line_idx)
                 )
-            if self.next_line < (
-                self.state.ln_pluck.shape[0] - self.frontend.max_lines
-            ):
-                # Depth path first (RGB-D/stereo), then two-view
-                # triangulation for leftovers / monocular.
-                self.state, n_depth = line_mapper.lines_from_depth(
-                    self.camera, self.state, slot, self.next_line
-                )
-                self.next_line += int(n_depth)
-                # Point-anchored lines: the primary monocular source (the
-                # point map IS the depth map); also tops up metric setups
-                # where the depth map had holes.
-                self.state, n_pts = line_mapper.lines_from_points(
-                    self.camera, self.state, slot, self.next_line
-                )
-                self.next_line += int(n_pts)
+            # Depth path first (RGB-D/stereo), then point-anchored lines:
+            # the primary monocular source (the point map IS the depth
+            # map); also tops up metric setups where the depth map had
+            # holes.
+            st, n_depth = line_mapper.lines_from_depth(
+                self.camera, st, slot, next_line
+            )
+            next_line = next_line + n_depth
+            st, n_pts = line_mapper.lines_from_points(
+                self.camera, st, slot, next_line
+            )
+            next_line = next_line + n_pts
             # Two-view plane-intersection fallback for leftover segments.
             # Metric setups only: without depth or point anchors the pair
             # geometry cannot reject aliased parallel segments (clipped
             # verticals especially), so for monocular the point-anchored
             # path above is the sole line source.
-            if (
-                self.camera.setup is not CameraSetup.MONOCULAR
-                and self.next_kf >= 2
-                and self.next_line
-                < (self.state.ln_pluck.shape[0] - self.frontend.max_lines)
-            ):
-                # Several covisible neighbors, widest baseline first —
-                # nearest keyframes give ill-conditioned plane
-                # intersections (reference iterates top covisibilities,
-                # mapping_module.cc:359-418).
-                W = np.array(ms.covisibility_matrix(self.state)[slot])
-                W[slot] = 0
-                nbs = np.argsort(-W)[:6]
-                C_slot = self._kf_center(slot)
-                # Two back-projected planes intersect reliably only with
-                # real parallax: require baseline >= 3% of scene depth
-                # (the line analog of ORB-SLAM2's baseline/median-depth
-                # triangulation gate; plane intersection is far more
-                # noise-sensitive than point DLT).
-                min_base = 0.03 * self._map_scale(slot)
-                nbs = sorted(
-                    (
-                        int(nb)
-                        for nb in nbs
-                        if W[nb] >= 15
-                        and np.linalg.norm(self._kf_center(nb) - C_slot)
-                        >= min_base
-                    ),
-                    key=lambda nb: -np.linalg.norm(self._kf_center(nb) - C_slot),
-                )[:3]
-                for nb in nbs:
-                    if self.next_line >= (
-                        self.state.ln_pluck.shape[0] - self.frontend.max_lines
-                    ):
-                        break
-                    self.state, n_new = line_mapper.triangulate_lines_pair(
-                        self.camera, self.state, slot, nb, self.next_line
-                    )
-                    self.next_line += int(n_new)
-            if self.next_line > 0:
-                # Re-observation is the real line filter: creation is
-                # permissive, unsupported lines die here (reference:
-                # local_map_cleaner.cc:133 line culling).
-                self.state, _ = line_mapper.cull_lines(self.state, slot)
+            if self.camera.setup is not CameraSetup.MONOCULAR and self.next_kf >= 2:
+                st, n_two = line_mapper.triangulate_lines_with_neighbors(
+                    self.camera, st, slot, next_line
+                )
+                next_line = next_line + n_two
+            # Re-observation is the real line filter: creation is
+            # permissive, unsupported lines die here (reference:
+            # local_map_cleaner.cc:133 line culling).
+            st, _ = line_mapper.cull_lines(st, slot)
+            self.next_line = next_line
 
         # Fuse duplicates with the local map.
         kf_mask = jnp.zeros((self.max_keyframes,), bool).at[slot].set(True)
-        lm_local = ms.local_landmark_mask(self.state, kf_mask)
-        self.state, _ = mapper.fuse_into_keyframe(
-            self.camera, self.state, slot, lm_local
-        )
+        lm_local = ms.local_landmark_mask(st, kf_mask)
+        st, _ = mapper.fuse_into_keyframe(self.camera, st, slot, lm_local)
 
         # Plane landmarks from instance segmentation (reference:
         # Planar_Mapping_module::process_new_kf, mapping_module.cc:242-248).
-        if self._cur_seg_mask is not None and self.next_plane < (
-            self.state.pl_coef.shape[0] - 8
-        ):
+        if self._cur_seg_mask is not None:
             from structure_plp_slam_tpu.models import planar_mapper
 
             labels = planar_mapper.label_keypoints(
@@ -623,40 +605,46 @@ class System:
                 feats["xy"],
                 feats["valid"],
             )
-            scale = self._map_scale(slot)
-            self.state, n_pl = planar_mapper.detect_planes(
-                self.state, slot, labels, self.next_plane,
-                self._split_key(), jnp.float32(scale),
+            scale = mapper.map_scale(st, slot)
+            st, n_pl = planar_mapper.detect_planes(
+                st, slot, labels, self.next_plane,
+                self._split_key(), scale,
                 coherent=self.use_graph_cut,
             )
-            self.next_plane += int(n_pl)
-            self.state, _ = planar_mapper.merge_planes(
-                self.state, jnp.float32(scale)
-            )
-            self.state = planar_mapper.refine_planes(
-                self.state, jnp.float32(scale)
-            )
-            self.state = planar_mapper.snap_points_to_planes(
-                self.state, jnp.float32(scale)
-            )
+            self.next_plane = self.next_plane + n_pl
+            st, _ = planar_mapper.merge_planes(st, scale)
+            st = planar_mapper.refine_planes(st, scale)
+            st = planar_mapper.snap_points_to_planes(st, scale)
 
         # Local BA.
         if self.next_kf >= 3:
-            self.state, _ = mapper.local_ba(
-                self.camera, self.state, slot, self.frontend.inv_sigma_sq
+            st, _ = mapper.local_ba(
+                self.camera, st, slot, self.frontend.inv_sigma_sq
             )
-            if self.with_lines and self.next_line > 0:
-                from structure_plp_slam_tpu.models import line_mapper
+            if self.with_lines:
+                from structure_plp_slam_tpu.models import line_ba, line_mapper
 
-                self.state = line_mapper.refresh_lines(self.camera, self.state)
+                # Depth-anchored rebase (RGB-D/stereo lines), then the
+                # orthonormal 4-DoF multi-view GN polish that covers
+                # monocular lines too (reference optimizes line vertices
+                # inside BA, local_bundle_adjuster_extended_line.cc:69-).
+                st = line_mapper.refresh_lines(self.camera, st)
+                st = line_ba.refine_lines(self.camera, st)
         # Keyframe culling. (The retrieval index is stateless over the
         # MapState, so culled slots drop out of scoring via kf_valid with
         # no eviction bookkeeping.)
         if self.next_kf >= 5:
-            self.state, _ = mapper.cull_keyframes(self.state, slot)
+            st, _ = mapper.cull_keyframes(st, slot)
 
-        # Refresh current-frame associations from the stored keyframe.
-        self.last_kp_lm = self.state.kf_lm_idx[slot]
+        # Refresh landmark mean viewing directions over current observers
+        # (reference: landmark::update_normal_and_depth; feeds the 60-deg
+        # visibility gate).
+        st = mapper.update_landmark_normals(st)
+
+        # Publish the new state. Everything above was pure dispatch.
+        self.state = st
+        self.next_lm = next_lm
+        self.last_kp_lm = st.kf_lm_idx[slot]
         self.ref_kf = slot
         self._invalidate_map_cache()
 
@@ -699,43 +687,23 @@ class System:
     def _invalidate_map_cache(self):
         self._ind_cache = None
 
-    def _kf_center(self, kf: int) -> np.ndarray:
-        """World-frame camera center of keyframe ``kf``."""
-        pose = np.asarray(self.state.kf_pose[kf])
-        return -pose[:, :3].T @ pose[:, 3]
-
-    # ------------------------------------------------------------------
-    def _map_scale(self, kf: int) -> float:
-        """Map scale estimate for plane thresholds (reference:
-        estimate_map_scale — mono: inverse median keyframe depth; metric
-        setups: median landmark distance, planar_mapping_module.cc:130-183).
-        """
-        L = self.state.lm_pos.shape[0]
-        lm = np.asarray(self.state.kf_lm_idx[kf])
-        ok = lm >= 0
-        if ok.sum() < 10:
-            return 1.0
-        pose = np.asarray(self.state.kf_pose[kf])
-        pts = np.asarray(self.state.lm_pos)[np.clip(lm[ok], 0, L - 1)]
-        pc = pts @ pose[:, :3].T + pose[:, 3]
-        med = float(np.median(np.linalg.norm(pc, axis=1)))
-        return max(med, 1e-3)
-
     # ------------------------------------------------------------------
     def _record_frame(self, ts: float, lost: bool) -> Optional[np.ndarray]:
         R, t = self.pose
-        P = np.asarray(jnp.concatenate([R, t[:, None]], 1))
         ref = self.ref_kf
         # Relative pose to the reference keyframe for later refinement
-        # (reference: frame_statistics).
-        kf_pose = np.asarray(self.state.kf_pose[ref])
+        # (reference: frame_statistics) — computed on device so the frame's
+        # pose and its keyframe-relative form come back in ONE host fetch.
+        kf_pose = self.state.kf_pose[ref]
         R_ref, t_ref = kf_pose[:, :3], kf_pose[:, 3]
-        R_rel = P[:, :3] @ R_ref.T
-        t_rel = P[:, 3] - R_rel @ t_ref
-        self._frame_stats.append(
-            (ts, ref, np.concatenate([R_rel, t_rel[:, None]], 1), lost)
-        )
-        return P
+        R_rel = R @ R_ref.T
+        t_rel = t - R_rel @ t_ref
+        P, rel = jax.device_get((
+            jnp.concatenate([R, t[:, None]], 1),
+            jnp.concatenate([R_rel, t_rel[:, None]], 1),
+        ))
+        self._frame_stats.append((ts, ref, np.asarray(rel), lost))
+        return np.asarray(P)
 
     # ------------------------------------------------------------------
     # Output (reference: io/trajectory_io, publish/map_publisher).
@@ -778,8 +746,9 @@ class System:
         from structure_plp_slam_tpu.io import map_io
 
         map_io.save_map(
-            path, self.state, next_kf=self.next_kf, next_lm=self.next_lm,
-            next_line=self.next_line, next_plane=self.next_plane,
+            path, self.state, next_kf=int(self.next_kf),
+            next_lm=int(self.next_lm), next_line=int(self.next_line),
+            next_plane=int(self.next_plane),
             camera_name=self.camera.name, camera=self.camera,
         )
 
@@ -850,8 +819,9 @@ class System:
         from structure_plp_slam_tpu.io import map_io
 
         map_io.save_map_async(
-            w, self.state, next_kf=self.next_kf, next_lm=self.next_lm,
-            next_line=self.next_line, next_plane=self.next_plane,
+            w, self.state, next_kf=int(self.next_kf),
+            next_lm=int(self.next_lm), next_line=int(self.next_line),
+            next_plane=int(self.next_plane),
             camera_name=self.camera.name, camera=self.camera,
         )
 
@@ -916,26 +886,32 @@ class System:
     def get_map_publisher(self):
         return self.map_publisher
 
-    def _publish(self, feats, kp_lm, ts: float):
+    def _publish(self, feats, kp_lm, ts: float, num_tracked: int):
+        """Push the frame snapshot to the publishers. Pure reference
+        hand-off: device arrays are NOT pulled here (this runs every
+        frame); viewers materialize them when they poll."""
         L = self.state.lm_pos.shape[0]
-        kp_lm_np = np.asarray(kp_lm)
-        plane = np.asarray(self.state.lm_plane)[np.clip(kp_lm_np, 0, L - 1)]
+        plane = jnp.where(
+            kp_lm >= 0,
+            self.state.lm_plane[jnp.clip(kp_lm, 0, L - 1)],
+            -1,
+        )
         self.frame_publisher.update(
             image=self._last_image if self._last_image is not None else
             np.zeros((self.camera.rows, self.camera.cols), np.uint8),
             kp_xy=feats["xy"],
             kp_valid=feats["valid"],
-            kp_has_landmark=kp_lm_np >= 0,
-            kp_plane=np.where(kp_lm_np >= 0, plane, -1),
+            kp_has_landmark=kp_lm >= 0,
+            kp_plane=plane,
             segments=feats.get("seg"),
             seg_valid=feats.get("seg_valid"),
             state=self.tracking_state.value,
-            num_tracked=int((kp_lm_np >= 0).sum()),
+            num_tracked=num_tracked,
             timestamp=ts,
         )
         R, t = self.pose
         self.map_publisher.set_current_cam_pose(
-            np.asarray(jnp.concatenate([R, t[:, None]], 1))
+            jnp.concatenate([R, t[:, None]], 1)
         )
 
     def get_landmarks(self) -> np.ndarray:
