@@ -79,8 +79,31 @@ def _obs_chi2(prob, r_uv, r_xr, has_stereo):
     return chi2 + jnp.where(has_stereo, r_xr * r_xr * prob.obs_inv_sigma_sq, 0.0)
 
 
+def inv3x3(H):
+    """Closed-form batched 3x3 inverse via the adjugate — pure VPU
+    elementwise math. ``jnp.linalg.inv`` lowers to a batched LU solve that
+    costs ~70x more wall time on TPU at [4096, 3, 3]."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    Cc = d * h - e * g
+    det = a * A + b * B + c * Cc
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([Cc, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("camera", "num_iters", "cull_at_iters")
+    jax.jit, static_argnames=("camera", "num_iters", "cull_at_iters", "obs_grid")
 )
 def ba_solve(
     camera,
@@ -89,12 +112,20 @@ def ba_solve(
     num_iters: int = 15,
     cull_at_iters: tuple = (5,),
     damping: float = 1e-4,
+    obs_grid: bool = False,
 ) -> BAResult:
     """Run damped Gauss-Newton with Schur elimination on a BA window.
 
     ``cull_at_iters``: iterations after which observations are chi2-gated
     (the reference runs 5 iterations, prunes outliers, then 10 more —
     local_bundle_adjuster.cc two-phase structure).
+
+    ``obs_grid``: promise that observations are laid out as a dense
+    [C, O/C] grid with ``obs_cam[o] == o // (O/C)`` (how mapper.local_ba
+    flattens keyframe keypoint rows). The normal-equation assembly then
+    runs as C batched [M, N] x [N, blk] matmuls instead of one [M, O] x
+    [O, C*blk] contraction — 32x fewer FLOPs for the camera-landmark
+    coupling W at C=32.
     """
     C = prob.cam_pose.shape[0]
     M = prob.lm_pos.shape[0]
@@ -105,6 +136,44 @@ def ba_solve(
         & prob.cam_valid[prob.obs_cam]
         & prob.lm_valid[prob.obs_lm]
     )
+
+    # One-hot membership matrices, hoisted out of the iteration loop (the
+    # obs->cam / obs->lm wiring never changes). All normal-equation
+    # assembly then runs as einsums on the MXU instead of scatter-adds —
+    # XLA lowers .at[].add() to a serialized scatter on TPU, which
+    # dominated the solve (~15x slower than this formulation). Dead
+    # observations (index < 0) produce all-zero one-hot rows and drop out.
+    onehot_lm = (
+        prob.obs_lm[:, None] == jnp.arange(M, dtype=prob.obs_lm.dtype)
+    ).astype(jnp.float32)  # [O, M]
+    O = prob.obs_lm.shape[0]
+    if obs_grid:
+        Ng = O // C
+        oh_grid = onehot_lm.reshape(C, Ng, M)
+
+        def assemble(Hcc_o, Hll_o, Hcl_o, bc_o, bl_o):
+            Hcc = jnp.sum(Hcc_o.reshape(C, Ng, 6, 6), axis=1)
+            bc = jnp.sum(bc_o.reshape(C, Ng, 6), axis=1)
+            Hll = jnp.einsum("cnm,cnij->mij", oh_grid, Hll_o.reshape(C, Ng, 3, 3))
+            bl = jnp.einsum("cnm,cni->mi", oh_grid, bl_o.reshape(C, Ng, 3))
+            W = jnp.einsum("cnm,cnij->mcij", oh_grid, Hcl_o.reshape(C, Ng, 6, 3))
+            return Hcc, Hll, bc, bl, W
+    else:
+        onehot_cam = (
+            prob.obs_cam[:, None] == jnp.arange(C, dtype=prob.obs_cam.dtype)
+        ).astype(jnp.float32)  # [O, C]
+
+        def assemble(Hcc_o, Hll_o, Hcl_o, bc_o, bl_o):
+            Hcc = jnp.einsum("oc,oij->cij", onehot_cam, Hcc_o)
+            Hll = jnp.einsum("om,oij->mij", onehot_lm, Hll_o)
+            bc = jnp.einsum("oc,oi->ci", onehot_cam, bc_o)
+            bl = jnp.einsum("om,oi->mi", onehot_lm, bl_o)
+            W = jnp.einsum(
+                "om,ocij->mcij",
+                onehot_lm,
+                jnp.einsum("oc,oij->ocij", onehot_cam, Hcl_o),
+            )  # [M, C, 6, 3]
+            return Hcc, Hll, bc, bl, W
 
     def iteration(carry, it):
         cam_pose, lm_pos, obs_live = carry
@@ -164,48 +233,41 @@ def ba_solve(
             + Jl3 * (w_st * r_xr)[:, None]
         )  # [O, 3]
 
-        Hcc = jnp.zeros((C, 6, 6), jnp.float32).at[prob.obs_cam].add(Hcc_o)
-        Hll = jnp.zeros((M, 3, 3), jnp.float32).at[prob.obs_lm].add(Hll_o)
-        bc = jnp.zeros((C, 6), jnp.float32).at[prob.obs_cam].add(bc_o)
-        bl = jnp.zeros((M, 3), jnp.float32).at[prob.obs_lm].add(bl_o)
-        W = (
-            jnp.zeros((M, C, 6, 3), jnp.float32)
-            .at[prob.obs_lm, prob.obs_cam]
-            .add(Hcl_o)
-        )
+        Hcc, Hll, bc, bl, W = assemble(Hcc_o, Hll_o, Hcl_o, bc_o, bl_o)
 
         # --- Schur elimination -----------------------------------------
         lam_l = damping * jnp.maximum(
             jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
         )
         Hll_d = Hll + lam_l * jnp.eye(3, dtype=jnp.float32)[None]
-        Hll_inv = jnp.linalg.inv(Hll_d)  # batched 3x3
+        Hll_inv = inv3x3(Hll_d)  # batched 3x3, closed form
         # Landmarks with no observations: identity-damped inverse is fine
         # (their b is 0 so updates are 0).
 
         WHinv = jnp.einsum("mcij,mjk->mcik", W, Hll_inv)          # [M, C, 6, 3]
         S_red = jnp.einsum("mcik,mdjk->cdij", WHinv, W)           # [C, C, 6, 6]
-        S = -S_red
-        S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
+        # All diagonal-block updates via an eye mask — a TPU scatter has a
+        # ~ms fixed cost regardless of size; masked adds are pure VPU.
+        eye_cc = jnp.eye(C, dtype=jnp.float32)[:, :, None, None]  # [C,C,1,1]
+        S = -S_red + eye_cc * Hcc[:, None]
         rhs = bc - jnp.einsum("mcik,mk->ci", WHinv, bl)           # [C, 6]
 
         # Fix cameras: identity rows/cols (gauge + fixed window borders).
         free = (~prob.cam_fixed) & prob.cam_valid
         free_f = free.astype(jnp.float32)
         S = S * free_f[:, None, None, None] * free_f[None, :, None, None]
-        S = S.at[jnp.arange(C), jnp.arange(C)].add(
-            jnp.where(free[:, None, None], 0.0, 1.0) * jnp.eye(6)[None]
-        )
-        rhs = rhs * free_f[:, None]
+        eye6 = jnp.eye(6, dtype=jnp.float32)
+        S = S + eye_cc * (
+            jnp.where(free[:, None, None], 0.0, 1.0) * eye6[None]
+        )[:, None]
 
-        # Damping on camera blocks.
+        # Damping on camera blocks (trace of the diagonal blocks).
+        diag_blocks = jnp.einsum("ccij->cij", S)
         diag_scale = damping * jnp.maximum(
-            jnp.trace(S[jnp.arange(C), jnp.arange(C)], axis1=-2, axis2=-1) / 6.0,
-            1e-6,
+            jnp.trace(diag_blocks, axis1=-2, axis2=-1) / 6.0, 1e-6
         )
-        S = S.at[jnp.arange(C), jnp.arange(C)].add(
-            diag_scale[:, None, None] * jnp.eye(6)[None]
-        )
+        S = S + eye_cc * (diag_scale[:, None, None] * eye6[None])[:, None]
+        rhs = rhs * free_f[:, None]
 
         S_dense = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
         rhs_dense = rhs.reshape(6 * C)

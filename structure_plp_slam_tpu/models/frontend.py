@@ -34,6 +34,8 @@ class Frontend:
     ``pad_to``: output slot count (the MapState per-keyframe capacity).
     """
 
+    _JIT_CACHE: dict = {}
+
     def __init__(self, camera, orb_params: orb_ops.OrbParams, pad_to: int,
                  with_lines: bool = False, max_lines: int = 64):
         self.with_lines = with_lines
@@ -64,9 +66,19 @@ class Frontend:
             self._rect_mask = jnp.asarray(m)
         else:
             self._rect_mask = None
-        self._mono = jax.jit(self._mono_impl)
-        self._rgbd = jax.jit(self._rgbd_impl)
-        self._stereo = jax.jit(self._stereo_impl)
+        # Jitted executables shared across Frontend instances with the same
+        # config (instance-bound jax.jit retraces per instance — a fresh
+        # System would otherwise pay the full frontend compile again).
+        key = (camera, orb_params, pad_to)
+        fns = Frontend._JIT_CACHE.get(key)
+        if fns is None:
+            fns = (
+                jax.jit(self._mono_impl),
+                jax.jit(self._rgbd_impl),
+                jax.jit(self._stereo_impl),
+            )
+            Frontend._JIT_CACHE[key] = fns
+        self._mono, self._rgbd, self._stereo = fns
 
     # ------------------------------------------------------------------
     def _lines(self, img, out, key, depth_map=None):

@@ -98,13 +98,18 @@ class LoopCloser:
         call (scores + covisibility + validity together)."""
         if kf - self.last_loop_kf < self.min_gap:
             return None
-        sims, W_full, kf_valid = (
-            np.asarray(a) for a in jax.device_get((
-                self.bow.scores_for_slot(state, kf),
-                ms.covisibility_matrix(state),
-                state.kf_valid,
-            ))
-        )
+        # Pack scores + covisibility + validity into ONE [K, K+2] array so
+        # the fetch is a single device->host RPC (each pytree leaf is a
+        # separate ~20 ms round trip on a tunnel-attached TPU).
+        K = state.kf_valid.shape[0]
+        packed = np.asarray(jnp.concatenate([
+            ms.covisibility_matrix(state).astype(jnp.float32),
+            self.bow.scores_for_slot(state, kf)[:, None],
+            state.kf_valid.astype(jnp.float32)[:, None],
+        ], axis=1))
+        W_full = packed[:, :K]
+        sims = packed[:, K]
+        kf_valid = packed[:, K + 1] > 0.5
         W = W_full[kf]
         covis = (W >= 15) & kf_valid
         covis[kf] = True

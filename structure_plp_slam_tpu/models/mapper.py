@@ -512,7 +512,7 @@ def local_ba(
         obs_inv_sigma_sq=info.reshape(-1),
         obs_valid=obs_valid.reshape(-1),
     )
-    result = ba.ba_solve(camera, prob)
+    result = ba.ba_solve(camera, prob, obs_grid=True)
 
     # Write back optimized poses (opt cameras only) and landmark positions.
     write_cam = (~cam_fixed) & cam_ok

@@ -169,6 +169,12 @@ class OrbExtractor:
     budgets.
     """
 
+    # Jitted executables keyed on the full extractor config: a fresh
+    # OrbExtractor with the same geometry reuses the compiled program
+    # instead of retracing (instance-bound jax.jit would recompile per
+    # instance — a ~10 s hit every time a System is constructed).
+    _JIT_CACHE: dict = {}
+
     def __init__(self, rows: int, cols: int, params: OrbParams = OrbParams()):
         self.rows = rows
         self.cols = cols
@@ -178,7 +184,12 @@ class OrbExtractor:
         self.shapes = image_ops.pyramid_shapes(
             rows, cols, params.num_levels, params.scale_factor
         )
-        self._extract = jax.jit(self._extract_impl)
+        key = (rows, cols, params)
+        fn = OrbExtractor._JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(self._extract_impl)
+            OrbExtractor._JIT_CACHE[key] = fn
+        self._extract = fn
 
     def __call__(self, img_gray_f32):
         """f32 ``[H, W]`` -> feature SoA dict (see module docstring)."""

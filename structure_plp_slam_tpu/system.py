@@ -10,7 +10,11 @@ feed_*_frame, trajectory save, pause/resume/reset). Differences by design:
   jitted transformation ``MapState -> MapState`` issued by this facade.
   JAX's async dispatch overlaps device work with host bookkeeping — the
   role the threads played — without any locking.
-* Frame feeding returns the tracked pose (host numpy) for the caller.
+* Frame feeding returns the tracked pose as a DEVICE array (convert with
+  np.asarray only when needed — on a tunnel-attached TPU every conversion
+  is an RPC round trip). Host-side control decisions (lost/keyframe) are
+  deferred by ``track_lag`` frames and overlap later frames' dispatch;
+  public reads drain them first.
 * Keyframe/landmark capacities are static; the facade owns slot counters.
 
 Usage:
@@ -24,8 +28,11 @@ Usage:
 
 from __future__ import annotations
 
+import collections
+import dataclasses
 import enum
-from typing import List, Optional, Tuple
+import functools
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +59,54 @@ class TrackerState(enum.Enum):
     LOST = "Lost"
 
 
+# Layout of the per-frame packed decision vector (one device->host transfer
+# carries EVERYTHING the host control flow needs for a frame; on a
+# tunnel-attached TPU every fetched pytree LEAF is a separate ~20 ms RPC
+# round trip, so the whole decision state travels as a single leaf).
+_PK_NUM_TRACKED = 0
+_PK_REF_TRACKED = 1
+_PK_CLOSE_TRK = 2
+_PK_CLOSE_UNTRK = 3
+_PK_REF_KF = 4
+_PK_NEXT_LM = 5
+_PK_POSE = slice(6, 18)      # row-major [3,4] camera-from-world
+_PK_REL = slice(18, 30)      # row-major [3,4] pose relative to ref keyframe
+_PK_SIZE = 30
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _pack_decision(state, res, next_lm):
+    """Fuse every per-frame host-needed value into one f32 vector."""
+    kfp = state.kf_pose[res.ref_kf]
+    R_ref, t_ref = kfp[:, :3], kfp[:, 3]
+    R_rel = res.R @ R_ref.T
+    t_rel = res.t - R_rel @ t_ref
+    P = jnp.concatenate([res.R, res.t[:, None]], 1)
+    rel = jnp.concatenate([R_rel, t_rel[:, None]], 1)
+    head = jnp.stack([
+        res.num_tracked, res.ref_tracked, res.n_close_tracked,
+        res.n_close_untracked, res.ref_kf, next_lm,
+    ]).astype(jnp.float32)
+    return jnp.concatenate([head, P.reshape(-1), rel.reshape(-1)])
+
+
+@dataclasses.dataclass
+class _PendingFrame:
+    """A fed frame whose host-side decisions (lost check, keyframe
+    insertion, trajectory record) are deferred by ``track_lag`` frames so
+    the packed decision vector's device->host RPC overlaps later frames'
+    dispatch — the role the reference's mapping-thread queue plays
+    (mapping_module.cc:150, keyframes are processed asynchronously)."""
+
+    packed: jax.Array
+    feats: dict
+    ts: float
+    res: Any                      # tracker.TrackResult (device arrays)
+    seg_mask: Optional[np.ndarray]
+    seg_line_idx: Optional[jax.Array]
+    frames_since_kf: int
+
+
 class System:
     def __init__(
         self,
@@ -66,7 +121,19 @@ class System:
         num_triangulation_neighbors: int = 2,
         max_kf_interval: Optional[int] = None,
         min_kf_interval: int = 0,
+        track_lag: int = 2,
     ):
+        # ``track_lag``: how many frames the host-side decisions (lost
+        # check, keyframe insertion, trajectory record) may trail the
+        # device dispatch. 0 = fully synchronous (reference per-frame
+        # semantics); 2 (default) overlaps the per-frame decision fetch
+        # with the next frames' dispatch, hiding the host<->device RPC
+        # latency the way the reference hides mapping behind its thread
+        # queue. Public reads (state/metrics/trajectories) drain pending
+        # decisions first, so results are identical up to WHEN a keyframe
+        # fires.
+        self.track_lag = max(0, int(track_lag))
+        self._pending: collections.deque = collections.deque()
         # Conditions A1/A2 of the keyframe decision
         # (keyframe_inserter.cc:76-81): A1 forces a keyframe after
         # max_kf_interval frames (reference default: camera fps); A2 allows
@@ -97,14 +164,14 @@ class System:
         self.frontend = frontend_mod.Frontend(
             config.camera, config.orb, pad_to=cap, with_lines=self.with_lines
         )
-        self.state = ms.create(max_keyframes, cap, max_landmarks)
+        self._state = ms.create(max_keyframes, cap, max_landmarks)
         self.next_line = 0
         self.max_keyframes = max_keyframes
         self.max_landmarks = max_landmarks
         self.num_tri_neighbors = num_triangulation_neighbors
         self.enable_mapping = enable_mapping
 
-        self.tracking_state = TrackerState.NOT_INITIALIZED
+        self._tracking_state = TrackerState.NOT_INITIALIZED
         self.key = jax.random.PRNGKey(seed)
         self.next_kf = 0
         self.next_lm = 0
@@ -150,17 +217,46 @@ class System:
         self._terminate_requested = False
 
     # ------------------------------------------------------------------
+    # Deferred-decision plumbing.
+    # ------------------------------------------------------------------
+    @property
+    def state(self) -> ms.MapState:
+        """The current MapState. Reading drains any pending lagged frame
+        decisions first, so callers always observe a fully-applied map."""
+        self._drain_pending()
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        self._drain_pending()
+        self._state = value
+
+    @property
+    def tracking_state(self) -> TrackerState:
+        self._drain_pending()
+        return self._tracking_state
+
+    @tracking_state.setter
+    def tracking_state(self, value):
+        self._tracking_state = value
+
+    def _drain_pending(self):
+        while self._pending:
+            self._consume(self._pending.popleft())
+
+    # ------------------------------------------------------------------
     # Lifecycle (reference: system::startup/shutdown/reset).
     # ------------------------------------------------------------------
     def startup(self, need_initialize: bool = True):
         self._running = True
         if not need_initialize:
-            self.tracking_state = TrackerState.LOST
+            self._tracking_state = TrackerState.LOST
 
     def shutdown(self):
         """Stop feeding and tear down background surfaces (reference:
         system::shutdown joins the mapping/loop threads; here the
         equivalents are the viewer/publisher/snapshot worker threads)."""
+        self._drain_pending()
         self._running = False
         self.stop_live_viewer()
         pub = getattr(self, "_native_pub", None)
@@ -173,10 +269,12 @@ class System:
             self._autosave = None
 
     def reset(self):
-        self.state = ms.create(
+        # Pending decisions refer to the map being destroyed; drop them.
+        self._pending.clear()
+        self._state = ms.create(
             self.max_keyframes, self.frontend.pad_to, self.max_landmarks
         )
-        self.tracking_state = TrackerState.NOT_INITIALIZED
+        self._tracking_state = TrackerState.NOT_INITIALIZED
         self.next_kf = 0
         self.next_lm = 0
         self._init_feats = None
@@ -232,7 +330,7 @@ class System:
             # resume_tracker() (system.cc:482-528 pause protocol).
             return None
         self.num_frames += 1
-        if self.tracking_state is TrackerState.NOT_INITIALIZED:
+        if self._tracking_state is TrackerState.NOT_INITIALIZED:
             ok = self._initialize(feats, ts)
             if not ok:
                 return None
@@ -254,7 +352,7 @@ class System:
         min_obs = 3 if self.next_kf >= 3 else 1
         res = tracker.track_frame(
             self.camera,
-            self.state,
+            self._state,
             feats,
             R_pred,
             t_pred,
@@ -266,57 +364,9 @@ class System:
             num_levels=self.frontend.extractor.params.num_levels,
             scale_factor=self.frontend.extractor.params.scale_factor,
         )
-        # ONE host fetch per frame: everything the keyframe decision and
-        # the Lost check need comes back together (each device_get is a
-        # host<->device round trip — the expensive resource here).
-        (num_tracked, ref_tracked, n_close_trk, n_close_untrk, ref_kf_host,
-         next_lm_host) = (
-            int(v) for v in jax.device_get((
-                res.num_tracked, res.ref_tracked, res.n_close_tracked,
-                res.n_close_untracked, res.ref_kf, self.next_lm,
-            ))
-        )
-        # Reference acceptance: local-map tracking must keep >= 30 inliers
-        # (frame_tracker/ORB-SLAM thresholds); below that the pose is
-        # unreliable even if self-consistent, so declare Lost and try to
-        # relocalize rather than inserting garbage keyframes.
-        if num_tracked < 30:
-            # Lost: try relocalization against the retrieval index
-            # (reference: tracking_module.cc:651-657 -> relocalizer.cc).
-            self.tracking_state = TrackerState.LOST
-            out = self.relocalizer.relocalize(
-                self.state, feats, self.frontend.inv_sigma_sq, self._split_key()
-            )
-            if out is None:
-                # Auto-reset when lost right after initialization — the
-                # young map is junk (reference: tracking_module.cc:506-513,
-                # reset if lost within ~5 s of init).
-                if (
-                    self.enable_mapping
-                    and self.next_kf <= 3
-                    and self.num_frames - self._init_frame_count
-                    < 5.0 * self.camera.fps
-                ):
-                    self.reset()
-                    return None
-                self._record_frame(ts, lost=True)
-                return None
-            R_r, t_r, kp_lm_r, ref = out
-            self.num_relocalizations += 1
-            self.pose = (R_r, t_r)
-            self.vel = (
-                jnp.eye(3, dtype=jnp.float32),
-                jnp.zeros((3,), jnp.float32),
-            )
-            self.last_kp_lm = kp_lm_r
-            self.ref_kf = ref
-            self.tracking_state = TrackerState.TRACKING
-            return self._record_frame(ts, lost=False)
-        self.tracking_state = TrackerState.TRACKING
-
         # Update landmark observed/visible statistics on device.
-        st = self.state
-        self.state = st._replace(
+        st = self._state
+        self._state = st._replace(
             lm_n_vis=st.lm_n_vis + res.lm_vis.astype(jnp.int32),
             lm_n_fnd=st.lm_n_fnd + res.lm_fnd.astype(jnp.int32),
         )
@@ -329,11 +379,11 @@ class System:
         if self.with_lines:
             from structure_plp_slam_tpu.models import line_mapper
 
-            L = self.state.lm_pos.shape[0]
-            pts = self.state.lm_pos[jnp.clip(res.kp_lm, 0, L - 1)]
+            L = self._state.lm_pos.shape[0]
+            pts = self._state.lm_pos[jnp.clip(res.kp_lm, 0, L - 1)]
             info = self.frontend.obs_inv_sigma_sq(feats["level"])
-            self.state, R_res, t_res, seg_lines = line_mapper.track_lines(
-                self.camera, self.state,
+            self._state, R_res, t_res, seg_lines = line_mapper.track_lines(
+                self.camera, self._state,
                 feats["seg"], feats["seg_desc"], feats["seg_valid"],
                 pts, feats["xy"], info,
                 (res.kp_lm >= 0) & feats["valid"],
@@ -342,7 +392,8 @@ class System:
             self._seg_line_idx = seg_lines
             res = res._replace(R=R_res, t=t_res)
 
-        # Motion model update.
+        # Motion model update (optimistic: a frame that turns out Lost at
+        # consume time gets its pose overwritten by relocalization then).
         R_new, t_new = res.R, res.t
         R_last, t_last = self.pose
         self.vel = (
@@ -351,20 +402,107 @@ class System:
         )
         self.pose = (R_new, t_new)
         self.last_kp_lm = res.kp_lm
-        self.ref_kf = ref_kf_host
         self.frames_since_kf += 1
-        self._publish(feats, res.kp_lm, ts, num_tracked)
+
+        # Defer every host-side decision: pack the scalars + poses into ONE
+        # device vector, start its device->host copy in the background, and
+        # consume it ``track_lag`` frames later — the RPC round trip then
+        # overlaps the next frames' dispatch instead of stalling this one.
+        packed = _pack_decision(self._state, res, self.next_lm)
+        try:
+            packed.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass  # platform without async D2H: _consume just blocks
+        entry = _PendingFrame(
+            packed=packed, feats=feats, ts=ts, res=res,
+            seg_mask=self._cur_seg_mask, seg_line_idx=self._seg_line_idx,
+            frames_since_kf=self.frames_since_kf,
+        )
+        self._pending.append(entry)
+        cur_ok = True
+        while len(self._pending) > self.track_lag:
+            oldest = self._pending.popleft()
+            ok = self._consume(oldest)
+            if oldest is entry:
+                cur_ok = ok
+        if not cur_ok:
+            return None  # track_lag == 0 and THIS frame was lost
+        return jnp.concatenate([res.R, res.t[:, None]], 1)
+
+    # ------------------------------------------------------------------
+    def _consume(self, entry: _PendingFrame) -> bool:
+        """Apply the deferred host-side decisions of a fed frame: Lost
+        check + relocalization, trajectory record, keyframe decision +
+        insertion (reference: tracking_module.cc:651-657 lost handling,
+        keyframe_inserter.cc:54-114 decision). Returns False if the frame
+        was lost."""
+        vals = np.asarray(entry.packed)
+        num_tracked = int(vals[_PK_NUM_TRACKED])
+        ref_tracked = int(vals[_PK_REF_TRACKED])
+        n_close_trk = int(vals[_PK_CLOSE_TRK])
+        n_close_untrk = int(vals[_PK_CLOSE_UNTRK])
+        ref_kf_host = int(vals[_PK_REF_KF])
+        next_lm_host = int(vals[_PK_NEXT_LM])
+        rel = vals[_PK_REL].reshape(3, 4).copy()
+        ts = entry.ts
+
+        # Reference acceptance: local-map tracking must keep >= 30 inliers
+        # (frame_tracker/ORB-SLAM thresholds); below that the pose is
+        # unreliable even if self-consistent, so declare Lost and try to
+        # relocalize rather than inserting garbage keyframes.
+        if num_tracked < 30:
+            self._tracking_state = TrackerState.LOST
+            out = self.relocalizer.relocalize(
+                self._state, entry.feats, self.frontend.inv_sigma_sq,
+                self._split_key(),
+            )
+            if out is None:
+                # Auto-reset when lost right after initialization — the
+                # young map is junk (reference: tracking_module.cc:506-513,
+                # reset if lost within ~5 s of init).
+                if (
+                    self.enable_mapping
+                    and self.next_kf <= 3
+                    and self.num_frames - self._init_frame_count
+                    < 5.0 * self.camera.fps
+                ):
+                    self.reset()
+                    return False
+                self._frame_stats.append((ts, ref_kf_host, rel, True))
+                return False
+            R_r, t_r, kp_lm_r, ref = out
+            self.num_relocalizations += 1
+            self.pose = (R_r, t_r)
+            self.vel = (
+                jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros((3,), jnp.float32),
+            )
+            self.last_kp_lm = kp_lm_r
+            self.ref_kf = ref
+            self._tracking_state = TrackerState.TRACKING
+            # Frames dispatched after this one tracked from the doomed
+            # pre-relocalization pose; drop their pending decisions.
+            while self._pending:
+                e = self._pending.popleft()
+                self._frame_stats.append(
+                    (e.ts, ref, np.eye(3, 4, dtype=np.float32), True)
+                )
+            self._record_frame(ts, lost=False)
+            return True
+        self._tracking_state = TrackerState.TRACKING
+        self.ref_kf = ref_kf_host
+        self._publish(entry.feats, entry.res.kp_lm, ts, num_tracked)
 
         # Keyframe decision (reference: keyframe_inserter.cc:54-114).
         # Condition B (required): enough matches, and either the tracked
         # fraction of the reference's reliable landmarks dropped below 0.9
         # or (stereo/RGB-D) close points demand insertion (ORB-SLAM2's
         # bNeedToInsertClose). A-conditions: A1 max-interval, A2
-        # min-interval + mapper idle (mapping runs inline here, so idle is
-        # always true), A3 viewpoint moved hard (< 0.25 of reliable).
-        # Deliberate deviation: A1 also forces a keyframe WITHOUT cond B —
-        # the reference bounds drift through mapper busy-ness we don't
-        # have; on an inline pipeline the fps-interval force is the analog.
+        # min-interval + mapper idle (mapping is deferred dispatch here, so
+        # idle is always true), A3 viewpoint moved hard (< 0.25 of
+        # reliable). Deliberate deviation: A1 also forces a keyframe
+        # WITHOUT cond B — the reference bounds drift through mapper
+        # busy-ness we don't have; the fps-interval force is the analog.
         if self.enable_mapping and self.next_kf < self.max_keyframes:
             lm_headroom = (
                 next_lm_host < self.max_landmarks - 2 * self.frontend.pad_to
@@ -385,9 +523,10 @@ class System:
                 or (cond_a1 and num_tracked >= 15)
             ) and lm_headroom
             if need:
-                self._insert_keyframe(feats, ts, res)
+                self._insert_keyframe(entry)
 
-        return self._record_frame(ts, lost=False)
+        self._frame_stats.append((ts, ref_kf_host, rel, False))
+        return True
 
     # ------------------------------------------------------------------
     def _initialize(self, feats, ts: float) -> bool:
@@ -395,9 +534,9 @@ class System:
             pose = jnp.concatenate(
                 [jnp.eye(3, dtype=jnp.float32), jnp.zeros((3, 1), jnp.float32)], 1
             )
-            self.state, created = mapper.insert_keyframe(
+            self._state, created = mapper.insert_keyframe(
                 self.camera,
-                self.state,
+                self._state,
                 0,
                 pose,
                 ts,
@@ -407,16 +546,16 @@ class System:
             )
             n = int(created)
             if n < 30:
-                self.state = ms.create(
+                self._state = ms.create(
                     self.max_keyframes, self.frontend.pad_to, self.max_landmarks
                 )
                 return False
             self.next_kf = 1
             self.next_lm = n
-            self.last_kp_lm = self.state.kf_lm_idx[0]
+            self.last_kp_lm = self._state.kf_lm_idx[0]
             self.pose = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
             self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
-            self.tracking_state = TrackerState.TRACKING
+            self._tracking_state = TrackerState.TRACKING
             self.frames_since_kf = 0
             self._init_frame_count = self.num_frames
             self._invalidate_map_cache()
@@ -469,8 +608,8 @@ class System:
         )
         pose2 = jnp.concatenate([res.R_2w, t2[:, None]], 1)
 
-        self.state = ms.add_keyframe(self.state, 0, pose1, self._init_ts, f1, lm1)
-        self.state = ms.add_keyframe(self.state, 1, pose2, ts, feats, lm2)
+        self._state = ms.add_keyframe(self._state, 0, pose1, self._init_ts, f1, lm1)
+        self._state = ms.add_keyframe(self._state, 1, pose2, ts, feats, lm2)
 
         dist = jnp.linalg.norm(pts, axis=-1)
         sf = self.frontend.extractor.params.scale_factor
@@ -479,8 +618,8 @@ class System:
         dist_max = dist * level_scale
         dist_min = dist_max / (sf ** (nlv - 1))
         view = pts / jnp.maximum(dist[:, None], 1e-9)
-        self.state = ms.add_landmarks(
-            self.state,
+        self._state = ms.add_landmarks(
+            self._state,
             slots,
             pts,
             f1["desc"],
@@ -495,9 +634,9 @@ class System:
 
         # Initial global BA over the two views (reference: initializer.cc
         # :306-307 runs 20 iterations of global BA).
-        self.state, _ = mapper.local_ba(
+        self._state, _ = mapper.local_ba(
             self.camera,
-            self.state,
+            self._state,
             1,
             self.frontend.inv_sigma_sq,
             max_opt=4,
@@ -507,9 +646,9 @@ class System:
 
         self.pose = (res.R_2w, t2)
         self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
-        self.last_kp_lm = self.state.kf_lm_idx[1]
+        self.last_kp_lm = self._state.kf_lm_idx[1]
         self.ref_kf = 1
-        self.tracking_state = TrackerState.TRACKING
+        self._tracking_state = TrackerState.TRACKING
         self.frames_since_kf = 0
         self._init_feats = None
         self._init_frame_count = self.num_frames
@@ -517,7 +656,7 @@ class System:
         return True
 
     # ------------------------------------------------------------------
-    def _insert_keyframe(self, feats, ts: float, res: tracker.TrackResult):
+    def _insert_keyframe(self, entry: _PendingFrame):
         """Keyframe processing chain — the reference mapping thread's work
         (mapping_module.cc:193-285) as a sequence of jitted dispatches with
         ZERO host syncs in between: slot counters stay on device and flow
@@ -526,9 +665,10 @@ class System:
         viewer publishing), once all device work is already queued. Local
         state is mutated only at the very end to keep the chain re-entrant.
         """
+        feats, ts, res = entry.feats, entry.ts, entry.res
         slot = self.next_kf
         pose = jnp.concatenate([res.R, res.t[:, None]], 1)
-        st = self.state
+        st = self._state
         st, created = mapper.insert_keyframe(
             self.camera, st, slot, pose, ts, feats, res.kp_lm, self.next_lm
         )
@@ -558,9 +698,9 @@ class System:
             from structure_plp_slam_tpu.models import line_mapper
 
             next_line = self.next_line
-            if self._seg_line_idx is not None:
+            if entry.seg_line_idx is not None:
                 st = st._replace(
-                    kf_line_idx=st.kf_line_idx.at[slot].set(self._seg_line_idx)
+                    kf_line_idx=st.kf_line_idx.at[slot].set(entry.seg_line_idx)
                 )
             # Depth path first (RGB-D/stereo), then point-anchored lines:
             # the primary monocular source (the point map IS the depth
@@ -597,11 +737,11 @@ class System:
 
         # Plane landmarks from instance segmentation (reference:
         # Planar_Mapping_module::process_new_kf, mapping_module.cc:242-248).
-        if self._cur_seg_mask is not None:
+        if entry.seg_mask is not None:
             from structure_plp_slam_tpu.models import planar_mapper
 
             labels = planar_mapper.label_keypoints(
-                jnp.asarray(self._cur_seg_mask, jnp.int32),
+                jnp.asarray(entry.seg_mask, jnp.int32),
                 feats["xy"],
                 feats["valid"],
             )
@@ -642,7 +782,7 @@ class System:
         st = mapper.update_landmark_normals(st)
 
         # Publish the new state. Everything above was pure dispatch.
-        self.state = st
+        self._state = st
         self.next_lm = next_lm
         self.last_kp_lm = st.kf_lm_idx[slot]
         self.ref_kf = slot
@@ -655,19 +795,19 @@ class System:
         # Loop closing (reference: the keyframe flows to the
         # global-optimization thread's queue, mapping_module.cc:150).
         if self.enable_loop_closing and self.next_kf >= 8:
-            cand = self.loop_closer.detect(self.state, slot)
+            cand = self.loop_closer.detect(self._state, slot)
             if cand is not None:
                 val = self.loop_closer.validate(
-                    self.state, slot, cand, self._split_key()
+                    self._state, slot, cand, self._split_key()
                 )
                 if val is not None:
                     R21, t21, s21 = val
-                    self.state = self.loop_closer.correct(
-                        self.state, slot, cand, R21, t21, s21,
+                    self._state = self.loop_closer.correct(
+                        self._state, slot, cand, R21, t21, s21,
                         self.frontend.inv_sigma_sq,
                     )
                     # Tracking continues from the corrected keyframe pose.
-                    pose_c = self.state.kf_pose[slot]
+                    pose_c = self._state.kf_pose[slot]
                     self.pose = (pose_c[:, :3], pose_c[:, 3])
                     self.vel = (
                         jnp.eye(3, dtype=jnp.float32),
@@ -681,7 +821,7 @@ class System:
         map's associations change (keyframe insertion, loop correction,
         reset, load)."""
         if self._ind_cache is None:
-            self._ind_cache = ms.observation_indicator(self.state)
+            self._ind_cache = ms.observation_indicator(self._state)
         return self._ind_cache
 
     def _invalidate_map_cache(self):
@@ -694,7 +834,7 @@ class System:
         # Relative pose to the reference keyframe for later refinement
         # (reference: frame_statistics) — computed on device so the frame's
         # pose and its keyframe-relative form come back in ONE host fetch.
-        kf_pose = self.state.kf_pose[ref]
+        kf_pose = self._state.kf_pose[ref]
         R_ref, t_ref = kf_pose[:, :3], kf_pose[:, 3]
         R_rel = R @ R_ref.T
         t_rel = t - R_rel @ t_ref
@@ -710,7 +850,8 @@ class System:
     # ------------------------------------------------------------------
     def frame_trajectory(self):
         """Frame poses recomposed against current keyframe poses."""
-        kf_poses = np.asarray(self.state.kf_pose)
+        self._drain_pending()
+        kf_poses = np.asarray(self._state.kf_pose)
         out = []
         for ts, ref, rel, lost in self._frame_stats:
             if lost:
@@ -722,9 +863,10 @@ class System:
         return out
 
     def keyframe_trajectory(self):
-        kf_poses = np.asarray(self.state.kf_pose)
-        kf_valid = np.asarray(self.state.kf_valid)
-        kf_ts = np.asarray(self.state.kf_timestamp)
+        self._drain_pending()
+        kf_poses = np.asarray(self._state.kf_pose)
+        kf_valid = np.asarray(self._state.kf_valid)
+        kf_ts = np.asarray(self._state.kf_timestamp)
         order = np.argsort(kf_ts)
         return [
             (float(kf_ts[k]), kf_poses[k]) for k in order if kf_valid[k]
@@ -743,10 +885,11 @@ class System:
     # 112-192 — save/load map database, enable/disable mapping).
     # ------------------------------------------------------------------
     def save_map_database(self, path: str):
+        self._drain_pending()
         from structure_plp_slam_tpu.io import map_io
 
         map_io.save_map(
-            path, self.state, next_kf=int(self.next_kf),
+            path, self._state, next_kf=int(self.next_kf),
             next_lm=int(self.next_lm), next_line=int(self.next_line),
             next_plane=int(self.next_plane),
             camera_name=self.camera.name, camera=self.camera,
@@ -755,18 +898,19 @@ class System:
     def load_map_database(self, path: str):
         """Load a snapshot; tracking starts Lost and relocalizes against
         the loaded map (reference: run_image_localization.cc:66-76)."""
+        self._drain_pending()
         from structure_plp_slam_tpu.io import map_io
 
-        self.state, counters = map_io.load_map_with_counters(path)
+        self._state, counters = map_io.load_map_with_counters(path)
         self.next_kf = counters["next_kf"]
         self.next_lm = counters["next_lm"]
         self.next_line = counters["next_line"]
         self.next_plane = counters["next_plane"]
-        self.max_keyframes = self.state.kf_pose.shape[0]
-        self.max_landmarks = self.state.lm_pos.shape[0]
+        self.max_keyframes = self._state.kf_pose.shape[0]
+        self.max_landmarks = self._state.lm_pos.shape[0]
         # No retrieval-index rebuild needed: scoring reads the loaded
         # MapState's own descriptors directly.
-        self.tracking_state = TrackerState.LOST
+        self._tracking_state = TrackerState.LOST
         self._invalidate_map_cache()
 
     # ------------------------------------------------------------------
@@ -776,6 +920,7 @@ class System:
     # synchronously as jitted steps, not on background threads).
     # ------------------------------------------------------------------
     def pause_tracker(self):
+        self._drain_pending()
         self._paused = True
 
     def resume_tracker(self):
@@ -785,6 +930,7 @@ class System:
         return self._paused
 
     def request_terminate(self):
+        self._drain_pending()
         self._terminate_requested = True
 
     def terminate_is_requested(self) -> bool:
@@ -819,7 +965,7 @@ class System:
         from structure_plp_slam_tpu.io import map_io
 
         map_io.save_map_async(
-            w, self.state, next_kf=int(self.next_kf),
+            w, self._state, next_kf=int(self.next_kf),
             next_lm=int(self.next_lm), next_line=int(self.next_line),
             next_plane=int(self.next_plane),
             camera_name=self.camera.name, camera=self.camera,
@@ -839,10 +985,10 @@ class System:
             return
         import msgpack
 
-        valid = np.asarray(self.state.lm_valid)
-        pts = np.asarray(self.state.lm_pos)[valid].astype(np.float32)
-        kf_valid = np.asarray(self.state.kf_valid)
-        kfs = np.asarray(self.state.kf_pose)[kf_valid].astype(np.float32)
+        valid = np.asarray(self._state.lm_valid)
+        pts = np.asarray(self._state.lm_pos)[valid].astype(np.float32)
+        kf_valid = np.asarray(self._state.kf_valid)
+        kfs = np.asarray(self._state.kf_pose)[kf_valid].astype(np.float32)
         R, t = self.pose
         pose = np.asarray(jnp.concatenate([R, t[:, None]], 1), np.float32)
         pub.publish(
@@ -890,10 +1036,10 @@ class System:
         """Push the frame snapshot to the publishers. Pure reference
         hand-off: device arrays are NOT pulled here (this runs every
         frame); viewers materialize them when they poll."""
-        L = self.state.lm_pos.shape[0]
+        L = self._state.lm_pos.shape[0]
         plane = jnp.where(
             kp_lm >= 0,
-            self.state.lm_plane[jnp.clip(kp_lm, 0, L - 1)],
+            self._state.lm_plane[jnp.clip(kp_lm, 0, L - 1)],
             -1,
         )
         self.frame_publisher.update(
@@ -905,7 +1051,7 @@ class System:
             kp_plane=plane,
             segments=feats.get("seg"),
             seg_valid=feats.get("seg_valid"),
-            state=self.tracking_state.value,
+            state=self._tracking_state.value,
             num_tracked=num_tracked,
             timestamp=ts,
         )
@@ -915,27 +1061,31 @@ class System:
         )
 
     def get_landmarks(self) -> np.ndarray:
-        valid = np.asarray(self.state.lm_valid)
-        return np.asarray(self.state.lm_pos)[valid]
+        self._drain_pending()
+        valid = np.asarray(self._state.lm_valid)
+        return np.asarray(self._state.lm_pos)[valid]
 
     @property
     def num_keyframes(self) -> int:
-        return int(np.asarray(self.state.kf_valid).sum())
+        self._drain_pending()
+        return int(np.asarray(self._state.kf_valid).sum())
 
     @property
     def num_landmarks(self) -> int:
-        return int(np.asarray(self.state.lm_valid).sum())
+        self._drain_pending()
+        return int(np.asarray(self._state.lm_valid).sum())
 
     def metrics(self) -> dict:
         """Observability snapshot (reference: spdlog stats + per-frame
         timing dumps; SURVEY.md §5)."""
+        self._drain_pending()
         return {
             "frames": self.num_frames,
             "keyframes": self.num_keyframes,
             "landmarks": self.num_landmarks,
-            "lines": int(np.asarray(self.state.ln_valid).sum()),
-            "planes": int(np.asarray(self.state.pl_valid).sum()),
+            "lines": int(np.asarray(self._state.ln_valid).sum()),
+            "planes": int(np.asarray(self._state.pl_valid).sum()),
             "loops_closed": self.loop_closer.num_loops_closed,
             "relocalizations": self.num_relocalizations,
-            "tracking_state": self.tracking_state.value,
+            "tracking_state": self._tracking_state.value,
         }
