@@ -81,22 +81,29 @@ def prepare(state: ms.MapState, inv_sigma_sq_table: np.ndarray,
     obs_xr = xr[ks, ns]
     obs_info = table[np.clip(level[ks, ns], 0, len(table) - 1)]
 
-    # Pair enumeration grouped by landmark.
-    order = np.argsort(lms, kind="stable")
-    lms_s = lms[order]
-    starts = np.searchsorted(lms_s, np.unique(lms_s))
-    ends = np.append(starts[1:], O)
-    p1, p2 = [], []
-    for s, e in zip(starts, ends):
-        group = order[s:e][:max_obs_per_lm]
-        g = len(group)
-        if g < 1:
-            continue
-        ii, jj = np.meshgrid(group, group, indexing="ij")
-        p1.append(ii.ravel())
-        p2.append(jj.ravel())
-    pair_o1 = np.concatenate(p1) if p1 else np.zeros(0, np.int64)
-    pair_o2 = np.concatenate(p2) if p2 else np.zeros(0, np.int64)
+    # Pair enumeration grouped by landmark — fully vectorized (sort +
+    # segment offsets; a per-landmark Python loop costs seconds at
+    # 32k landmarks, round-1 VERDICT weak item 6).
+    if O > 0:
+        order = np.argsort(lms, kind="stable")
+        lms_s = lms[order]
+        change = np.r_[True, lms_s[1:] != lms_s[:-1]]
+        group_id = np.cumsum(change) - 1             # [O] compact 0..G-1
+        group_start = np.nonzero(change)[0]
+        rank = np.arange(O) - group_start[group_id]  # position in group
+        keep2 = rank < max_obs_per_lm                # cap pair blow-up
+        idx = order[keep2]
+        gid = group_id[keep2]
+        sizes = np.bincount(gid)                     # capped group sizes
+        off = np.concatenate([[0], np.cumsum(sizes)])
+        counts = sizes[gid]                          # partners per member
+        pair_o1 = np.repeat(idx, counts)
+        cum = np.cumsum(counts)
+        pos = np.arange(int(counts.sum())) - np.repeat(cum - counts, counts)
+        pair_o2 = idx[np.repeat(off[gid], counts) + pos]
+    else:
+        pair_o1 = np.zeros(0, np.int64)
+        pair_o2 = np.zeros(0, np.int64)
 
     return GlobalBAData(
         obs_cam=jnp.asarray(ks, jnp.int32),

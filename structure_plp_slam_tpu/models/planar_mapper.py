@@ -14,6 +14,7 @@ vmapped RANSAC across buckets).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -27,8 +28,51 @@ MIN_INLIERS = 20          # reference: min landmarks per plane candidate
 INLIER_RATIO = 0.7        # reference: _THRESHOLD ratios (planar_mapping_parameters.yaml)
 
 
-@jax.jit
-def label_keypoints(seg_mask, kp_xy, kp_valid):
+@dataclasses.dataclass(frozen=True)
+class PlanarParams:
+    """Planar-mapping thresholds, loadable from the reference's own
+    ``planar_mapping_parameters.yaml`` keys (reference:
+    Planar_Mapping_module::load_configuration,
+    planar_mapping_module.cc:1158-1184). Hashable -> usable as a static
+    jit argument. Defaults are this framework's tuned values; any
+    ``Threshold.*`` key present in the parsed YAML overrides them."""
+
+    max_instances: int = MAX_INSTANCES      # concurrent mask buckets
+    min_points: int = MIN_INLIERS           # Threshold.min_number_points_before_ransac
+    inliers_ratio_thr: float = INLIER_RATIO  # Threshold.inliers_ratio_thr
+    plane_distance: float = 0.02            # Threshold.plane_distance_correction
+    dot_product_threshold: float = 0.985    # Threshold.dot_product_threshold
+    offset_delta_factor: float = 2.5        # Threshold.offset_delta_factor (x plane_distance x scale)
+    snap_distance_factor: float = 3.0       # point-to-plane snap gate (x plane_distance x scale)
+    use_graph_cut: bool = True              # Threshold.use_graph_cut
+    check_3x3_window: bool = True           # Threshold.check_3x3_window
+
+    @staticmethod
+    def from_raw(raw: dict) -> "PlanarParams":
+        d = PlanarParams()
+        g = raw.get
+        return PlanarParams(
+            max_instances=int(g("Threshold.max_instances", d.max_instances)),
+            min_points=int(g("Threshold.min_number_points_before_ransac",
+                             d.min_points)),
+            inliers_ratio_thr=float(g("Threshold.inliers_ratio_thr",
+                                      d.inliers_ratio_thr)),
+            plane_distance=float(g("Threshold.plane_distance_correction",
+                                   d.plane_distance)),
+            dot_product_threshold=float(g("Threshold.dot_product_threshold",
+                                          d.dot_product_threshold)),
+            offset_delta_factor=float(g("Threshold.offset_delta_factor",
+                                        d.offset_delta_factor)),
+            snap_distance_factor=float(g("Threshold.snap_distance_factor",
+                                         d.snap_distance_factor)),
+            use_graph_cut=bool(g("Threshold.use_graph_cut", d.use_graph_cut)),
+            check_3x3_window=bool(g("Threshold.check_3x3_window",
+                                    d.check_3x3_window)),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("check_3x3",))
+def label_keypoints(seg_mask, kp_xy, kp_valid, check_3x3: bool = True):
     """Per-keypoint instance label with a 3x3 consistency check
     (reference: create_ColorToPlane, planar_mapping_module.cc:185-345 —
     a keypoint counts only if its 3x3 neighborhood is one instance).
@@ -41,13 +85,16 @@ def label_keypoints(seg_mask, kp_xy, kp_valid):
     ys = jnp.clip(kp_xy[:, 1].astype(jnp.int32), 1, H - 2)
     center = seg_mask[ys, xs]
     consistent = jnp.ones_like(center, dtype=bool)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            consistent = consistent & (seg_mask[ys + dy, xs + dx] == center)
+    if check_3x3:  # Threshold.check_3x3_window
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                consistent = consistent & (seg_mask[ys + dy, xs + dx] == center)
     return jnp.where(kp_valid & consistent & (center > 0), center, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_instances", "coherent"))
+@functools.partial(
+    jax.jit, static_argnames=("max_instances", "coherent", "params")
+)
 def detect_planes(
     state: ms.MapState,
     kf,
@@ -58,6 +105,7 @@ def detect_planes(
     *,
     max_instances: int = MAX_INSTANCES,
     coherent: bool = False,
+    params: PlanarParams = PlanarParams(),
 ):
     """Fit a plane per mask instance from the keyframe's landmarks.
 
@@ -79,7 +127,21 @@ def detect_planes(
     pts = state.lm_pos[lm_safe]
     # A landmark already owned by a plane is not re-bucketed.
     unowned = state.lm_plane[lm_safe] < 0
-    thr = 0.02 * scale
+    thr = params.plane_distance * scale  # Threshold.plane_distance_correction
+
+    # Arbitrary instance ids map to the top-``max_instances`` buckets by
+    # keypoint support — PlaneRecNet masks routinely carry 20+ instances
+    # (round-1 VERDICT item 8); ids above the bucket count used to be
+    # silently dropped.
+    MAX_ID = 64
+    cand = has_lm & unowned & (labels > 0)
+    lbl = jnp.clip(labels, 0, MAX_ID - 1)
+    id_counts = (
+        jnp.zeros((MAX_ID,), jnp.int32)
+        .at[jnp.where(cand, lbl, 0)].add(1)
+        .at[0].set(0)
+    )
+    _, top_ids = jax.lax.top_k(id_counts, max_instances)  # [I]
 
     keys = jax.random.split(key, max_instances)
 
@@ -96,19 +158,18 @@ def detect_planes(
     else:
         fit = plane_fit.plane_ransac
 
-    def per_instance(inst, k):
-        sel = has_lm & unowned & (labels == inst)
+    def per_instance(inst_id, k):
+        sel = cand & (lbl == inst_id) & (inst_id > 0)
         coef, inl, n_inl = fit(pts, sel, k, inlier_thr=thr)
         n_cand = jnp.sum(sel)
         good = (
-            (n_inl >= MIN_INLIERS)
-            & (n_inl >= INLIER_RATIO * jnp.maximum(n_cand, 1))
+            (n_inl >= params.min_points)
+            & (n_inl >= params.inliers_ratio_thr * jnp.maximum(n_cand, 1))
         )
         return coef, inl & sel, good
 
-    coefs, inls, goods = jax.vmap(per_instance)(
-        jnp.arange(1, max_instances + 1), keys
-    )  # [I, 4], [I, N], [I]
+    coefs, inls, goods = jax.vmap(per_instance)(top_ids, keys)
+    # [I, 4], [I, N], [I]
 
     order = jnp.cumsum(goods.astype(jnp.int32)) - 1
     slots = base_plane_slot + order
@@ -139,8 +200,8 @@ def detect_planes(
     return state, jnp.sum(goods)
 
 
-@jax.jit
-def merge_planes(state: ms.MapState, scale):
+@functools.partial(jax.jit, static_argnames=("params",))
+def merge_planes(state: ms.MapState, scale, params: PlanarParams = PlanarParams()):
     """Merge coplanar plane pairs (reference: planar_mapping_module.cc
     :773-1004 merge criteria — parallel normals + small mutual offset).
     The lower-id plane absorbs the other."""
@@ -151,7 +212,9 @@ def merge_planes(state: ms.MapState, scale):
     d_diff = jnp.abs(jnp.abs(d)[:, None] - jnp.abs(d)[None, :])
     both = state.pl_valid[:, None] & state.pl_valid[None, :]
     ids = jnp.arange(P)
-    mergeable = both & (cos > 0.985) & (d_diff < 0.05 * scale) & (
+    mergeable = both & (cos > params.dot_product_threshold) & (
+        d_diff < params.offset_delta_factor * params.plane_distance * scale
+    ) & (
         ids[:, None] < ids[None, :]
     )
     # For each plane j, the smallest i it merges into (or itself).
@@ -173,8 +236,8 @@ def merge_planes(state: ms.MapState, scale):
     return state, jnp.sum(dies)
 
 
-@jax.jit
-def refine_planes(state: ms.MapState, scale):
+@functools.partial(jax.jit, static_argnames=("params",))
+def refine_planes(state: ms.MapState, scale, params: PlanarParams = PlanarParams()):
     """Refit every valid plane from its owned landmarks (reference:
     refine_planes SVD refit) and drop planes that lost support."""
     P = state.pl_coef.shape[0]
@@ -188,7 +251,7 @@ def refine_planes(state: ms.MapState, scale):
         return coef, count
 
     coefs, counts = jax.vmap(refit)(jnp.arange(P))
-    keep = state.pl_valid & (counts >= MIN_INLIERS * 0.5)
+    keep = state.pl_valid & (counts >= params.min_points * 0.5)
     state = state._replace(
         pl_coef=jnp.where(keep[:, None], coefs, state.pl_coef),
         pl_valid=keep,
@@ -204,8 +267,9 @@ def refine_planes(state: ms.MapState, scale):
     return state
 
 
-@jax.jit
-def snap_points_to_planes(state: ms.MapState, scale):
+@functools.partial(jax.jit, static_argnames=("params",))
+def snap_points_to_planes(state: ms.MapState, scale,
+                          params: PlanarParams = PlanarParams()):
     """Project owned landmarks onto their plane (reference:
     refine_points_with_plane — the point-to-plane regularization)."""
     P = state.pl_coef.shape[0]
@@ -214,7 +278,9 @@ def snap_points_to_planes(state: ms.MapState, scale):
     dist = jnp.einsum("li,li->l", coef[:, :3], state.lm_pos) + coef[:, 3]
     # Snap only points already near the plane (outliers keep their position
     # and lose ownership).
-    near = jnp.abs(dist) <= 0.06 * scale
+    near = jnp.abs(dist) <= (
+        params.snap_distance_factor * params.plane_distance * scale
+    )
     snapped = state.lm_pos - dist[:, None] * coef[:, :3]
     return state._replace(
         lm_pos=jnp.where((owned & near)[:, None], snapped, state.lm_pos),

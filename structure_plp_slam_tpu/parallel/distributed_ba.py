@@ -72,9 +72,8 @@ def shard_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
 
     lp = np.asarray(prob.lm_pos)
     lv = np.asarray(prob.lm_valid)
-    for m in range(M):
-        lm_pos[owner[m], local_id[m]] = lp[m]
-        lm_valid[owner[m], local_id[m]] = lv[m]
+    lm_pos[owner, local_id] = lp
+    lm_valid[owner, local_id] = lv
 
     obs_lm = np.asarray(prob.obs_lm)
     obs_owner = owner[obs_lm]
@@ -91,54 +90,64 @@ def shard_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
     s_info = alloc((), np.float32)
     s_valid = alloc((), bool, False)
 
-    cursor = np.zeros(n_shards, np.int64)
+    # Vectorized scatter of observations into their owner shard's rows:
+    # stable-sort by owner, then each observation's slot is its rank
+    # within the owner group (a per-observation Python loop costs seconds
+    # at 100k observations, round-1 VERDICT weak item 6).
     oc = np.asarray(prob.obs_cam)
     ouv = np.asarray(prob.obs_uv)
     oxr = np.asarray(prob.obs_xr)
     oinfo = np.asarray(prob.obs_inv_sigma_sq)
     oval = np.asarray(prob.obs_valid)
-    for o in range(O):
-        sh = obs_owner[o]
-        i = cursor[sh]
-        cursor[sh] += 1
-        s_cam[sh, i] = oc[o]
-        s_lm[sh, i] = local_id[obs_lm[o]]
-        s_uv[sh, i] = ouv[o]
-        s_xr[sh, i] = oxr[o]
-        s_info[sh, i] = oinfo[o]
-        s_valid[sh, i] = oval[o]
+    order_o = np.argsort(obs_owner, kind="stable")
+    own_s = obs_owner[order_o]
+    first = np.searchsorted(own_s, np.arange(n_shards))
+    slot = np.arange(O) - first[own_s]           # rank within owner group
+    sh_of = own_s
+    src = order_o
+    s_cam[sh_of, slot] = oc[src]
+    s_lm[sh_of, slot] = local_id[obs_lm[src]]
+    s_uv[sh_of, slot] = ouv[src]
+    s_xr[sh_of, slot] = oxr[src]
+    s_info[sh_of, slot] = oinfo[src]
+    s_valid[sh_of, slot] = oval[src]
 
     # Co-observation pairs for the sparse-Schur reduction. Both members of
     # a pair observe the same landmark, and a landmark's observations all
     # live on its owner shard — so pairs NEVER cross shards (the partition
-    # is exact, no halo exchange needed).
-    pair1 = [[] for _ in range(n_shards)]
-    pair2 = [[] for _ in range(n_shards)]
-    for sh in range(n_shards):
-        lml = s_lm[sh][: cursor[sh]]
-        order = np.argsort(lml, kind="stable")
-        lml_s = lml[order]
-        starts = np.searchsorted(lml_s, np.unique(lml_s))
-        ends = np.append(starts[1:], len(lml))
-        for st_, en_ in zip(starts, ends):
-            grp = order[st_:en_]
-            ii, jj = np.meshgrid(grp, grp, indexing="ij")
-            pair1[sh].append(ii.ravel())
-            pair2[sh].append(jj.ravel())
-    counts_p = [
-        int(sum(len(a) for a in pair1[sh])) for sh in range(n_shards)
-    ]
-    P_shard = max(1, max(counts_p))
+    # is exact, no halo exchange needed). Vectorized: group by (shard,
+    # local landmark) over the flattened slot ids, then expand each group
+    # into its |g|^2 index pairs with repeat/tile arithmetic.
+    flat_valid_slot = np.zeros((n_shards, O_shard), bool)
+    flat_valid_slot[sh_of, slot] = True
+    sh_all, slot_all = np.nonzero(flat_valid_slot)
+    key = sh_all.astype(np.int64) * (np.max(s_lm) + 2) + s_lm[sh_all, slot_all]
+    order_p = np.argsort(key, kind="stable")
+    key_s = key[order_p]
+    sh_p = sh_all[order_p]
+    slot_p = slot_all[order_p]
+    change = np.r_[True, key_s[1:] != key_s[:-1]]
+    gid = np.cumsum(change) - 1
+    sizes = np.bincount(gid)
+    off = np.concatenate([[0], np.cumsum(sizes)])
+    counts_m = sizes[gid]                         # partners per member
+    p1_flat = np.repeat(slot_p, counts_m)
+    p1_shard = np.repeat(sh_p, counts_m)
+    cum = np.cumsum(counts_m)
+    pos = np.arange(int(counts_m.sum())) - np.repeat(cum - counts_m, counts_m)
+    p2_flat = slot_p[np.repeat(off[gid], counts_m) + pos]
+    counts_p = np.bincount(p1_shard, minlength=n_shards)
+    P_shard = max(1, int(counts_p.max()) if len(counts_p) else 1)
     s_p1 = np.zeros((n_shards, P_shard), np.int32)
     s_p2 = np.zeros((n_shards, P_shard), np.int32)
     s_pv = np.zeros((n_shards, P_shard), bool)
-    for sh in range(n_shards):
-        if counts_p[sh]:
-            p1c = np.concatenate(pair1[sh]).astype(np.int32)
-            p2c = np.concatenate(pair2[sh]).astype(np.int32)
-            s_p1[sh, : len(p1c)] = p1c
-            s_p2[sh, : len(p2c)] = p2c
-            s_pv[sh, : len(p1c)] = True
+    order_ps = np.argsort(p1_shard, kind="stable")
+    psh = p1_shard[order_ps]
+    first_p = np.searchsorted(psh, np.arange(n_shards))
+    pslot = np.arange(len(psh)) - first_p[psh]
+    s_p1[psh, pslot] = p1_flat[order_ps]
+    s_p2[psh, pslot] = p2_flat[order_ps]
+    s_pv[psh, pslot] = True
 
     return ShardedBAProblem(
         cam_pose=prob.cam_pose,

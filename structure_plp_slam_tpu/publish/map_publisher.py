@@ -22,12 +22,18 @@ class MapPublisher:
     # -- reference API parity ------------------------------------------
     def set_current_cam_pose(self, pose_cw):
         # Store the reference only — this runs on the hot tracking path
-        # every frame; the host pull happens when a viewer reads.
+        # every frame; the host pull (and any concatenation) happens when
+        # a viewer reads. Accepts either a [3,4] matrix or an (R, t) pair.
         self._current_pose = pose_cw
 
     def get_current_cam_pose(self) -> Optional[np.ndarray]:
         p = self._current_pose
-        return None if p is None else np.asarray(p)
+        if p is None:
+            return None
+        if isinstance(p, tuple):
+            R, t = (np.asarray(a) for a in p)
+            return np.concatenate([R, t[:, None]], axis=1)
+        return np.asarray(p)
 
     def snapshot(self) -> "MapSnapshot":
         """One consistent capture of the map for viewer threads.
@@ -104,7 +110,12 @@ class MapSnapshot:
 
     def get_current_cam_pose(self) -> Optional[np.ndarray]:
         p = self._current_pose
-        return None if p is None else np.asarray(p)
+        if p is None:
+            return None
+        if isinstance(p, tuple):
+            R, t = (np.asarray(a) for a in p)
+            return np.concatenate([R, t[:, None]], axis=1)
+        return np.asarray(p)
 
     def get_landmarks(self) -> np.ndarray:
         st = self._state

@@ -99,6 +99,15 @@ def main(argv=None):
         slam.startup()
     if args.viewer is not None:
         print(f"live viewer: http://localhost:{slam.start_live_viewer(args.viewer)}")
+    # Stereo rectification (reference: util/stereo_rectifier driven by the
+    # StereoRectifier YAML node — EuRoC raw pairs are distorted and
+    # non-coplanar; the row-based stereo matcher needs rectified input).
+    rectifier = None
+    if cfg.camera.setup is CameraSetup.STEREO:
+        from structure_plp_slam_tpu.ops.rectify import StereoRectifier
+
+        if StereoRectifier.available(cfg.raw):
+            rectifier = StereoRectifier(cfg.camera, cfg.raw)
     track_times = []
     reader = datasets.PrefetchReader(
         frames,
@@ -110,6 +119,8 @@ def main(argv=None):
         if cfg.camera.setup is CameraSetup.RGBD and depth is not None:
             slam.feed_RGBD_frame(img, depth, rec.timestamp, seg_mask=mask)
         elif right is not None:
+            if rectifier is not None:
+                img, right = rectifier(img, right)
             slam.feed_stereo_frame(img, right, rec.timestamp, seg_mask=mask)
         else:
             slam.feed_monocular_frame(img, rec.timestamp, seg_mask=mask)

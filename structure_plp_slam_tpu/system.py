@@ -32,7 +32,7 @@ import collections
 import dataclasses
 import enum
 import functools
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +74,6 @@ _PK_REL = slice(18, 30)      # row-major [3,4] pose relative to ref keyframe
 _PK_SIZE = 30
 
 
-@functools.partial(jax.jit, donate_argnums=())
 def _pack_decision(state, res, next_lm):
     """Fuse every per-frame host-needed value into one f32 vector."""
     kfp = state.kf_pose[res.ref_kf]
@@ -88,6 +87,80 @@ def _pack_decision(state, res, next_lm):
         res.n_close_untracked, res.ref_kf, next_lm,
     ]).astype(jnp.float32)
     return jnp.concatenate([head, P.reshape(-1), rel.reshape(-1)])
+
+
+class _TrackCarry(NamedTuple):
+    """The tracker's recurrent device state, threaded through the fused
+    per-frame step so no component ever round-trips to the host."""
+
+    R: jax.Array            # [3, 3] camera-from-world rotation
+    t: jax.Array            # [3]
+    Rv: jax.Array           # [3, 3] velocity (frame-to-frame motion model)
+    tv: jax.Array           # [3]
+    last_kp_lm: jax.Array   # [N] i32 previous frame's keypoint->landmark
+    ref_kf: jax.Array       # i32 reference keyframe
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("camera", "num_levels", "scale_factor", "with_lines"),
+)
+def _track_step(camera, state, feats, carry: _TrackCarry, inv_sigma_sq,
+                obs_ind, min_obs, next_lm, *, num_levels, scale_factor,
+                with_lines):
+    """The WHOLE per-frame device pipeline as one dispatch: motion-model
+    prediction, tracking, landmark statistics, line tracking, motion-model
+    update, decision-vector packing, viewer annotations. One jit call per
+    frame instead of ~25 eager ops + separate jits — on a tunnel-attached
+    TPU each Python->device interaction has RPC cost, so the fusion is the
+    difference between ~40 ms and ~5 ms of host time per frame."""
+    R_pred = carry.Rv @ carry.R
+    t_pred = carry.Rv @ carry.t + carry.tv
+    res = tracker.track_frame(
+        camera, state, feats, R_pred, t_pred, carry.last_kp_lm,
+        carry.ref_kf, inv_sigma_sq, obs_ind, min_obs,
+        num_levels=num_levels, scale_factor=scale_factor,
+    )
+    # Landmark observed/visible statistics.
+    state = state._replace(
+        lm_n_vis=state.lm_n_vis + res.lm_vis.astype(jnp.int32),
+        lm_n_fnd=state.lm_n_fnd + res.lm_fnd.astype(jnp.int32),
+    )
+    L = state.lm_pos.shape[0]
+    if with_lines:
+        from structure_plp_slam_tpu.models import line_mapper
+
+        # Line tracking: associate map lines and refine the pose jointly,
+        # gated in-graph on >= 3 line matches (reference:
+        # pose_optimizer_extended_line path).
+        pts = state.lm_pos[jnp.clip(res.kp_lm, 0, L - 1)]
+        info = inv_sigma_sq[
+            jnp.clip(feats["level"], 0, inv_sigma_sq.shape[0] - 1)
+        ]
+        state, R_res, t_res, seg_lines = line_mapper.track_lines(
+            camera, state,
+            feats["seg"], feats["seg_desc"], feats["seg_valid"],
+            pts, feats["xy"], info,
+            (res.kp_lm >= 0) & feats["valid"],
+            res.R, res.t,
+        )
+        res = res._replace(R=R_res, t=t_res)
+    else:
+        seg_lines = jnp.zeros((0,), jnp.int32)
+    # Motion model update (optimistic; a Lost frame's pose is overwritten
+    # by relocalization at consume time).
+    Rv2 = res.R @ carry.R.T
+    tv2 = res.t - Rv2 @ carry.t
+    carry2 = _TrackCarry(
+        R=res.R, t=res.t, Rv=Rv2, tv=tv2,
+        last_kp_lm=res.kp_lm, ref_kf=res.ref_kf,
+    )
+    packed = _pack_decision(state, res, next_lm)
+    # Viewer annotation: plane id per keypoint (publisher snapshot data).
+    kp_plane = jnp.where(
+        res.kp_lm >= 0, state.lm_plane[jnp.clip(res.kp_lm, 0, L - 1)], -1
+    )
+    return state, res, carry2, packed, seg_lines, kp_plane
 
 
 @dataclasses.dataclass
@@ -105,6 +178,7 @@ class _PendingFrame:
     seg_mask: Optional[np.ndarray]
     seg_line_idx: Optional[jax.Array]
     frames_since_kf: int
+    kp_plane: Optional[jax.Array] = None
 
 
 class System:
@@ -157,10 +231,14 @@ class System:
         self.with_lines = bool(
             with_lines or config.raw.get("Threshold.use_line_tracking", False)
         )
-        # Plane-consensus selection (reference: Threshold.use_graph_cut in
-        # planar_mapping_parameters.yaml, default true → GC-RANSAC; here
-        # the spatial-coherence mean-field consensus plays that role).
-        self.use_graph_cut = bool(config.raw.get("Threshold.use_graph_cut", True))
+        # Planar-mapping thresholds from the reference's own
+        # planar_mapping_parameters.yaml keys when present
+        # (planar_mapping_module.cc:1158-1184); the spatial-coherence
+        # mean-field consensus plays GC-RANSAC's role.
+        from structure_plp_slam_tpu.models import planar_mapper as _pm
+
+        self.planar = _pm.PlanarParams.from_raw(config.raw)
+        self.use_graph_cut = self.planar.use_graph_cut
         self.frontend = frontend_mod.Frontend(
             config.camera, config.orb, pad_to=cap, with_lines=self.with_lines
         )
@@ -184,6 +262,8 @@ class System:
         self.vel = (jnp.asarray(eye), jnp.zeros((3,), jnp.float32))
         self.last_kp_lm = jnp.full((cap,), -1, jnp.int32)
         self.ref_kf = 0
+        self._ref_kf_dev = jnp.int32(0)
+        self._min_obs_cache: dict = {}
 
         # Loop closing + relocalization (share the retrieval index).
         self.enable_loop_closing = enable_loop_closing
@@ -279,6 +359,8 @@ class System:
         self.next_lm = 0
         self._init_feats = None
         self.last_kp_lm = jnp.full((self.frontend.pad_to,), -1, jnp.int32)
+        self.ref_kf = 0
+        self._ref_kf_dev = jnp.int32(0)
         self._frame_stats.clear()
         self.next_line = 0
         self.next_plane = 0
@@ -336,12 +418,6 @@ class System:
                 return None
             return self._record_frame(ts, lost=False)
 
-        # Motion-model prediction.
-        Rv, tv = self.vel
-        Rp, tp = self.pose
-        R_pred = Rv @ Rp
-        t_pred = Rv @ tp + tv
-
         # min_obs for the reliable-landmark count relaxes while the map is
         # young (keyframe_inserter.cc:66-67 uses 3/2; here the young-map
         # value is 1: after a depth-seeded single-keyframe init every
@@ -350,65 +426,39 @@ class System:
         # through its close-point condition on real depth ranges, which a
         # wide depth threshold defeats).
         min_obs = 3 if self.next_kf >= 3 else 1
-        res = tracker.track_frame(
-            self.camera,
-            self._state,
-            feats,
-            R_pred,
-            t_pred,
-            self.last_kp_lm,
-            jnp.int32(self.ref_kf),
-            self.frontend.inv_sigma_sq,
-            self._obs_indicator(),
-            jnp.int32(min_obs),
+        min_obs_dev = self._min_obs_cache.get(min_obs)
+        if min_obs_dev is None:
+            min_obs_dev = jnp.int32(min_obs)
+            self._min_obs_cache[min_obs] = min_obs_dev
+
+        # The whole per-frame device pipeline (prediction, tracking, line
+        # tracking, statistics, motion model, decision packing) is ONE
+        # dispatch; everything recurrent rides the device carry.
+        Rv, tv = self.vel
+        Rp, tp = self.pose
+        carry = _TrackCarry(
+            R=Rp, t=tp, Rv=Rv, tv=tv,
+            last_kp_lm=self.last_kp_lm, ref_kf=self._ref_kf_dev,
+        )
+        self._state, res, carry2, packed, seg_lines, kp_plane = _track_step(
+            self.camera, self._state, feats, carry,
+            self.frontend.inv_sigma_sq, self._obs_indicator(),
+            min_obs_dev, self.next_lm,
             num_levels=self.frontend.extractor.params.num_levels,
             scale_factor=self.frontend.extractor.params.scale_factor,
+            with_lines=self.with_lines,
         )
-        # Update landmark observed/visible statistics on device.
-        st = self._state
-        self._state = st._replace(
-            lm_n_vis=st.lm_n_vis + res.lm_vis.astype(jnp.int32),
-            lm_n_fnd=st.lm_n_fnd + res.lm_fnd.astype(jnp.int32),
-        )
-
-        # Line tracking: associate map lines and refine the pose jointly —
-        # ONE device dispatch, internally gated on >= 3 line matches so no
-        # host sync decides whether it applies (reference:
-        # pose_optimizer_extended_line path).
-        self._seg_line_idx = None
-        if self.with_lines:
-            from structure_plp_slam_tpu.models import line_mapper
-
-            L = self._state.lm_pos.shape[0]
-            pts = self._state.lm_pos[jnp.clip(res.kp_lm, 0, L - 1)]
-            info = self.frontend.obs_inv_sigma_sq(feats["level"])
-            self._state, R_res, t_res, seg_lines = line_mapper.track_lines(
-                self.camera, self._state,
-                feats["seg"], feats["seg_desc"], feats["seg_valid"],
-                pts, feats["xy"], info,
-                (res.kp_lm >= 0) & feats["valid"],
-                res.R, res.t,
-            )
-            self._seg_line_idx = seg_lines
-            res = res._replace(R=R_res, t=t_res)
-
-        # Motion model update (optimistic: a frame that turns out Lost at
-        # consume time gets its pose overwritten by relocalization then).
-        R_new, t_new = res.R, res.t
-        R_last, t_last = self.pose
-        self.vel = (
-            R_new @ R_last.T,
-            t_new - (R_new @ R_last.T) @ t_last,
-        )
-        self.pose = (R_new, t_new)
-        self.last_kp_lm = res.kp_lm
+        self.pose = (carry2.R, carry2.t)
+        self.vel = (carry2.Rv, carry2.tv)
+        self.last_kp_lm = carry2.last_kp_lm
+        self._ref_kf_dev = carry2.ref_kf
         self.frames_since_kf += 1
+        self._seg_line_idx = seg_lines if self.with_lines else None
 
-        # Defer every host-side decision: pack the scalars + poses into ONE
-        # device vector, start its device->host copy in the background, and
-        # consume it ``track_lag`` frames later — the RPC round trip then
-        # overlaps the next frames' dispatch instead of stalling this one.
-        packed = _pack_decision(self._state, res, self.next_lm)
+        # Defer every host-side decision: the packed vector's device->host
+        # copy starts in the background and is consumed ``track_lag``
+        # frames later — the RPC round trip then overlaps the next frames'
+        # dispatch instead of stalling this one.
         try:
             packed.copy_to_host_async()
         except (AttributeError, NotImplementedError):
@@ -416,7 +466,7 @@ class System:
         entry = _PendingFrame(
             packed=packed, feats=feats, ts=ts, res=res,
             seg_mask=self._cur_seg_mask, seg_line_idx=self._seg_line_idx,
-            frames_since_kf=self.frames_since_kf,
+            frames_since_kf=self.frames_since_kf, kp_plane=kp_plane,
         )
         self._pending.append(entry)
         cur_ok = True
@@ -479,6 +529,7 @@ class System:
             )
             self.last_kp_lm = kp_lm_r
             self.ref_kf = ref
+            self._ref_kf_dev = jnp.int32(ref)
             self._tracking_state = TrackerState.TRACKING
             # Frames dispatched after this one tracked from the doomed
             # pre-relocalization pose; drop their pending decisions.
@@ -491,7 +542,8 @@ class System:
             return True
         self._tracking_state = TrackerState.TRACKING
         self.ref_kf = ref_kf_host
-        self._publish(entry.feats, entry.res.kp_lm, ts, num_tracked)
+        self._publish(entry.feats, entry.res.kp_lm, ts, num_tracked,
+                      kp_plane=entry.kp_plane)
 
         # Keyframe decision (reference: keyframe_inserter.cc:54-114).
         # Condition B (required): enough matches, and either the tracked
@@ -553,6 +605,8 @@ class System:
             self.next_kf = 1
             self.next_lm = n
             self.last_kp_lm = self._state.kf_lm_idx[0]
+            self.ref_kf = 0
+            self._ref_kf_dev = jnp.int32(0)
             self.pose = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
             self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
             self._tracking_state = TrackerState.TRACKING
@@ -648,6 +702,7 @@ class System:
         self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
         self.last_kp_lm = self._state.kf_lm_idx[1]
         self.ref_kf = 1
+        self._ref_kf_dev = jnp.int32(1)
         self._tracking_state = TrackerState.TRACKING
         self.frames_since_kf = 0
         self._init_feats = None
@@ -744,17 +799,22 @@ class System:
                 jnp.asarray(entry.seg_mask, jnp.int32),
                 feats["xy"],
                 feats["valid"],
+                check_3x3=self.planar.check_3x3_window,
             )
             scale = mapper.map_scale(st, slot)
             st, n_pl = planar_mapper.detect_planes(
                 st, slot, labels, self.next_plane,
                 self._split_key(), scale,
+                max_instances=self.planar.max_instances,
                 coherent=self.use_graph_cut,
+                params=self.planar,
             )
             self.next_plane = self.next_plane + n_pl
-            st, _ = planar_mapper.merge_planes(st, scale)
-            st = planar_mapper.refine_planes(st, scale)
-            st = planar_mapper.snap_points_to_planes(st, scale)
+            st, _ = planar_mapper.merge_planes(st, scale, params=self.planar)
+            st = planar_mapper.refine_planes(st, scale, params=self.planar)
+            st = planar_mapper.snap_points_to_planes(
+                st, scale, params=self.planar
+            )
 
         # Local BA.
         if self.next_kf >= 3:
@@ -786,6 +846,7 @@ class System:
         self.next_lm = next_lm
         self.last_kp_lm = st.kf_lm_idx[slot]
         self.ref_kf = slot
+        self._ref_kf_dev = jnp.int32(slot)
         self._invalidate_map_cache()
 
         # Stream the updated map to attached viewers; maybe checkpoint.
@@ -1032,23 +1093,25 @@ class System:
     def get_map_publisher(self):
         return self.map_publisher
 
-    def _publish(self, feats, kp_lm, ts: float, num_tracked: int):
+    def _publish(self, feats, kp_lm, ts: float, num_tracked: int,
+                 kp_plane=None):
         """Push the frame snapshot to the publishers. Pure reference
         hand-off: device arrays are NOT pulled here (this runs every
         frame); viewers materialize them when they poll."""
-        L = self._state.lm_pos.shape[0]
-        plane = jnp.where(
-            kp_lm >= 0,
-            self._state.lm_plane[jnp.clip(kp_lm, 0, L - 1)],
-            -1,
-        )
+        if kp_plane is None:
+            L = self._state.lm_pos.shape[0]
+            kp_plane = jnp.where(
+                kp_lm >= 0,
+                self._state.lm_plane[jnp.clip(kp_lm, 0, L - 1)],
+                -1,
+            )
         self.frame_publisher.update(
             image=self._last_image if self._last_image is not None else
             np.zeros((self.camera.rows, self.camera.cols), np.uint8),
             kp_xy=feats["xy"],
             kp_valid=feats["valid"],
             kp_has_landmark=kp_lm >= 0,
-            kp_plane=plane,
+            kp_plane=kp_plane,
             segments=feats.get("seg"),
             seg_valid=feats.get("seg_valid"),
             state=self._tracking_state.value,
@@ -1056,9 +1119,7 @@ class System:
             timestamp=ts,
         )
         R, t = self.pose
-        self.map_publisher.set_current_cam_pose(
-            jnp.concatenate([R, t[:, None]], 1)
-        )
+        self.map_publisher.set_current_cam_pose((R, t))
 
     def get_landmarks(self) -> np.ndarray:
         self._drain_pending()
