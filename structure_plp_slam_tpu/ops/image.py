@@ -30,9 +30,33 @@ def to_grayscale(img):
     return img.astype(jnp.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """``[n_out, n_in]`` linear operator reproducing jax.image.resize's
+    bilinear (antialiased triangle-filter) weights along one axis. Resize
+    is linear, so resizing the identity matrix yields the exact operator;
+    applying it as a matmul runs on the MXU instead of the gather-based
+    resize lowering (~50x faster at pyramid sizes)."""
+    # Pure numpy (this runs inside jit traces as a constant): the
+    # antialiased triangle kernel jax.image.resize("bilinear") uses —
+    # output i samples input at x = (i+.5)/s - .5 with a triangle of
+    # radius max(1, 1/s), weights normalized.
+    scale = n_out / n_in
+    x = (np.arange(n_out, dtype=np.float64) + 0.5) / scale - 0.5
+    j = np.arange(n_in, dtype=np.float64)
+    inv_support = min(scale, 1.0)
+    w = np.maximum(0.0, 1.0 - np.abs((j[None, :] - x[:, None]) * inv_support))
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    return w.astype(np.float32)
+
+
 def resize_bilinear(img, out_hw):
-    """Bilinear resize ``[H, W] -> out_hw`` (static target shape)."""
-    return jax.image.resize(img, out_hw, method="bilinear")
+    """Bilinear resize ``[H, W] -> out_hw`` (static target shape) as two
+    matmuls with precomputed interpolation operators."""
+    H, W = img.shape
+    A = jnp.asarray(_resize_matrix(H, out_hw[0]))   # [H', H]
+    B = jnp.asarray(_resize_matrix(W, out_hw[1]))   # [W', W]
+    return A @ img @ B.T
 
 
 @functools.lru_cache(maxsize=32)
@@ -51,24 +75,21 @@ def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur with replicate padding (matches
     cv::GaussianBlur(7,7,2,2,BORDER_REFLECT_101) closely enough for BRIEF).
     """
-    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
+    # Shifted weighted adds instead of lax.conv: a single-channel conv
+    # wastes the MXU's 128-lane feature dimension and lowers to a path
+    # ~100x slower than 2*ksize VPU fused multiply-adds.
+    k = _gaussian_kernel_1d(ksize, sigma)
     half = ksize // 2
+    H, W = img.shape
     x = jnp.pad(img, ((half, half), (0, 0)), mode="reflect")
-    # Convolve rows then cols via conv_general_dilated on [1, 1, H, W].
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-    )
-    x = jnp.pad(x[0, 0], ((0, 0), (half, half)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-    )
-    return x[0, 0]
+    out = jnp.zeros_like(img)
+    for i in range(ksize):
+        out = out + float(k[i]) * jax.lax.slice(x, (i, 0), (i + H, W))
+    x = jnp.pad(out, ((0, 0), (half, half)), mode="reflect")
+    out = jnp.zeros_like(img)
+    for i in range(ksize):
+        out = out + float(k[i]) * jax.lax.slice(x, (0, i), (H, i + W))
+    return out
 
 
 def pyramid_shapes(rows: int, cols: int, num_levels: int, scale_factor: float):

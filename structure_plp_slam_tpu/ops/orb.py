@@ -79,23 +79,72 @@ def _gather_patches(img, xs, ys, dy, dx):
     return img[yy, xx]
 
 
-def ic_angles(img, xy):
+def _windowed_sum(P, h, axis):
+    """Sliding-window sum of half-extent ``h`` along ``axis`` from an
+    exclusive prefix-sum ``P`` (P has one extra leading element on that
+    axis). Border windows are truncated (zero padding) — irrelevant here
+    because keypoints keep an EDGE_MARGIN > PATCH_RADIUS border."""
+    n = P.shape[axis] - 1
+    hi = jax.lax.slice_in_dim(
+        jnp.pad(P, [(0, h), (0, 0)] if axis == 0 else [(0, 0), (0, h)],
+                mode="edge"),
+        h + 1, h + 1 + n, axis=axis)
+    lo = jax.lax.slice_in_dim(
+        jnp.pad(P, [(h, 0), (0, 0)] if axis == 0 else [(0, 0), (h, 0)],
+                mode="edge"),
+        0, n, axis=axis)
+    return hi - lo
+
+
+def ic_moment_maps(img):
+    """Dense IC-angle moment maps ``(m10, m01)`` over the whole image —
+    the circular-patch moments at EVERY pixel via prefix sums.
+
+    m10(p) = sum over the radius-15 disc of dx * I(p + (dy, dx)). Grouping
+    by dx: each column offset contributes dx times a VERTICAL windowed sum
+    of half-extent h(dx) = floor(sqrt(r^2 - dx^2)) — a prefix-sum
+    difference. ~60 VPU slice-adds replace a [K, 961] random gather per
+    pyramid level (TPU gathers are the slow path; round-2 profiling
+    measured 2.3 ms/level gathered vs ~0.1 ms dense)."""
+    r = PATCH_RADIUS
+    H, W = img.shape
+    Py = jnp.concatenate([jnp.zeros((1, W), img.dtype),
+                          jnp.cumsum(img, axis=0)], axis=0)
+    Px = jnp.concatenate([jnp.zeros((H, 1), img.dtype),
+                          jnp.cumsum(img, axis=1)], axis=1)
+    m10 = jnp.zeros_like(img)
+    m01 = jnp.zeros_like(img)
+    for d in range(1, r + 1):
+        h = int(math.floor(math.sqrt(r * r - d * d)))
+        V = _windowed_sum(Py, h, axis=0)   # [H, W] vertical sum, +-h
+        # column at x+d minus column at x-d, weighted by d.
+        left = jnp.pad(V, ((0, 0), (0, d)))[:, d:]
+        right = jnp.pad(V, ((0, 0), (d, 0)))[:, :W]
+        m10 = m10 + float(d) * (left - right)
+        Hs = _windowed_sum(Px, h, axis=1)  # horizontal sum, +-h
+        down = jnp.pad(Hs, ((0, d), (0, 0)))[d:, :]
+        up = jnp.pad(Hs, ((d, 0), (0, 0)))[:H, :]
+        m01 = m01 + float(d) * (down - up)
+    return m10, m01
+
+
+def ic_angles(img, xy, moments=None):
     """Intensity-centroid orientation for keypoints ``[K, 2]`` on ``img``.
 
     Reference: orb_extractor.cc ic_angle (:687): angle = atan2(m01, m10)
-    over a radius-15 circular patch.
-    """
-    dy, dx, mask = _ic_angle_offsets()
-    dyj = jnp.asarray(dy)
-    dxj = jnp.asarray(dx)
-    maskj = jnp.asarray(mask)
+    over a radius-15 circular patch. Computed from dense moment maps
+    (``ic_moment_maps``) sampled at the keypoints — identical to the
+    per-patch formulation for any keypoint at least PATCH_RADIUS from the
+    border (EDGE_MARGIN guarantees that)."""
+    if moments is None:
+        moments = ic_moment_maps(img)
+    m10_map, m01_map = moments
     xs = xy[:, 0].astype(jnp.int32)
     ys = xy[:, 1].astype(jnp.int32)
-    patches = _gather_patches(img, xs, ys, dyj, dxj)  # [K, P]
-    w = patches * maskj[None, :]
-    m10 = jnp.sum(w * dxj[None, :].astype(jnp.float32), axis=1)
-    m01 = jnp.sum(w * dyj[None, :].astype(jnp.float32), axis=1)
-    return jnp.arctan2(m01, m10)
+    H, W = img.shape
+    xs = jnp.clip(xs, 0, W - 1)
+    ys = jnp.clip(ys, 0, H - 1)
+    return jnp.arctan2(m01_map[ys, xs], m10_map[ys, xs])
 
 
 def brief_descriptors(blurred, xy, angles):
@@ -213,7 +262,7 @@ class OrbExtractor:
                 max_total=budget,
                 margin=EDGE_MARGIN,
             )
-            angle = ic_angles(lvl_img, xy)
+            angle = ic_angles(lvl_img, xy, moments=ic_moment_maps(lvl_img))
             blurred = image_ops.gaussian_blur(lvl_img)
             desc = brief_descriptors(blurred, xy, angle)
             scale = jnp.float32(p.scale_factor**lv)
