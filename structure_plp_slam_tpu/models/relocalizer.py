@@ -43,16 +43,28 @@ def _match_frame_to_keyframe(camera, state: ms.MapState, kf, feats):
 
 class Relocalizer:
     def __init__(self, camera, bow: BowIndex, *, min_candidates_matches: int = 20,
-                 min_inliers: int = 30):
+                 min_pnp_inliers: int = 15, min_inliers: int = 50):
+        """Thresholds follow the reference ladder (relocalizer.{h,cc}):
+        >= 20 descriptor matches to attempt a candidate, >= 15 P3P/EPnP
+        inliers to attempt the top-up, >= 50 inliers after the
+        projection-match top-up + pose optimization to accept."""
         self.camera = camera
         self.bow = bow
         self.min_matches = min_candidates_matches
+        self.min_pnp_inliers = min_pnp_inliers
         self.min_inliers = min_inliers
 
     def relocalize(self, state: ms.MapState, feats, inv_sigma_sq_table, key,
-                   max_candidates: int = 3):
+                   max_candidates: int = 3, *, obs_indicator=None,
+                   num_levels: int = 8, scale_factor: float = 1.2):
         """Try to recover the camera pose. Returns (R, t, kp_lm, ref_kf)
-        or None."""
+        or None.
+
+        Stages per candidate (reference relocalizer.cc:55-):
+        BoW candidates -> descriptor matching (>= 20) -> EPnP RANSAC
+        (>= 15 inliers) -> projection-match TOP-UP against the candidate's
+        local map + pose optimization (one tracker pass) -> accept at
+        >= 50 inliers."""
         sims = np.array(self.bow.scores(state, feats["desc"], feats["valid"]))
         kf_valid = np.array(state.kf_valid)
         sims = np.where(kf_valid, sims, -1.0)
@@ -73,7 +85,22 @@ class Relocalizer:
                 self.camera, pts, feats["xy"], info,
                 (lm >= 0) & feats["valid"], sub,
             )
-            if int(cnt) >= self.min_inliers:
-                kp_lm = jnp.where(inl, lm, -1)
-                return R, t, kp_lm, int(kf)
+            if int(cnt) < self.min_pnp_inliers:
+                continue
+            kp_lm0 = jnp.where(inl, lm, -1)
+            if obs_indicator is None:
+                obs_indicator = ms.observation_indicator(state)
+            # Top-up: one tracker pass from the PnP pose — projection
+            # matching against the candidate's local map, full LM pose
+            # optimization (the reference's match_frame_and_local_landmarks
+            # + pose_optimizer rerun).
+            from structure_plp_slam_tpu.models import tracker
+
+            res = tracker.track_frame(
+                self.camera, state, feats, R, t, kp_lm0, jnp.int32(int(kf)),
+                inv_sigma_sq_table, obs_indicator, jnp.int32(3),
+                num_levels=num_levels, scale_factor=scale_factor,
+            )
+            if int(res.num_tracked) >= self.min_inliers:
+                return res.R, res.t, res.kp_lm, int(kf)
         return None

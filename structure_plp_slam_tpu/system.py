@@ -505,6 +505,9 @@ class System:
             out = self.relocalizer.relocalize(
                 self._state, entry.feats, self.frontend.inv_sigma_sq,
                 self._split_key(),
+                obs_indicator=self._obs_indicator(),
+                num_levels=self.frontend.extractor.params.num_levels,
+                scale_factor=self.frontend.extractor.params.scale_factor,
             )
             if out is None:
                 # Auto-reset when lost right after initialization — the

@@ -89,3 +89,92 @@ def test_mono_point_line_slam(rng):
     z = (s_al * (R_al @ pts.T)).T[:, 2] + t_al[2]
     near_plane = (np.abs(z - 6.0) < 0.5) | (np.abs(z - 3.5) < 0.5)
     assert near_plane.mean() > 0.6, f"line endpoints off-plane: {z}"
+
+
+@pytest.mark.slow
+def test_line_map_healed_by_loop_closure(rng):
+    """Lines survive loop correction (round-1 VERDICT missing item 2 /
+    next-step 2): inject a rigid drift into the later sub-map INCLUDING
+    its line landmarks, feed the return leg with loop closing enabled, and
+    require (a) an organic loop closure and (b) the previously drifted
+    line endpoints back near the true scene planes — exercising
+    pose_graph.correct_lines through LoopCloser.correct/_optimize_graph
+    (reference: global_optimization_module.cc:233-255 moves landmarks AND
+    lines; graph_optimizer.cc transforms lines via corrected Sim3s)."""
+    import jax.numpy as jnp
+
+    from structure_plp_slam_tpu.ops import lie
+    from structure_plp_slam_tpu.ops import line_geometry as lg
+
+    cam = _camera(CameraSetup.RGBD)
+    cfg = Config(camera=cam, orb=_orb(), raw={})
+    tex = synthetic_scene.make_texture(rng, size=1536, grid=True)
+    out_frames, step, half = 24, 0.4, 14.0
+    Cs = [np.array([step * i, 0.0, 0.0]) for i in range(out_frames)]
+    Cs += [np.array([step * (out_frames - 1 - i), 0.0, 0.0])
+           for i in range(out_frames)]
+    frames, poses = [], []
+    for i, C in enumerate(Cs):
+        R = np.eye(3)
+        t = -R @ C
+        img, depth = synthetic_scene.render(cam, tex, R, t, plane_half=half)
+        frames.append((img, depth, i / 30.0))
+        poses.append((R, t))
+
+    n_out = len(frames) // 2
+    slam = System(cfg, max_keyframes=64, max_landmarks=24576,
+                  max_kf_interval=2, with_lines=True)
+    slam.startup()
+    for img, depth, ts in frames[:n_out]:
+        slam.feed_RGBD_frame(img, depth, ts)
+    assert slam.tracking_state is TrackerState.TRACKING
+    kf_cut = slam.next_kf // 2
+
+    # Rigid drift T into the later sub-map: poses, points AND lines.
+    T_R = np.array(lie.so3_exp(
+        jnp.asarray(np.array([[0.0, 0.05, 0.0]]), jnp.float32)))[0]
+    T_t = np.array([0.9, 0.0, 0.3], np.float32)
+    st = slam.state
+    K = st.kf_pose.shape[0]
+    kf_sel = (np.arange(K) >= kf_cut) & np.array(st.kf_valid)
+    pose = np.array(st.kf_pose)
+    T_R_inv, T_t_inv = T_R.T, -T_R.T @ T_t
+    for k in np.where(kf_sel)[0]:
+        R, t = pose[k, :, :3], pose[k, :, 3]
+        pose[k, :, :3] = R @ T_R_inv
+        pose[k, :, 3] = R @ T_t_inv + t
+    lm_sel = (np.array(st.lm_ref_kf) >= kf_cut) & np.array(st.lm_valid)
+    lm = np.array(st.lm_pos)
+    lm[lm_sel] = lm[lm_sel] @ T_R.T + T_t
+    ln_sel = (np.array(st.ln_ref_kf) >= kf_cut) & np.array(st.ln_valid)
+    eps = np.array(st.ln_endpoints)
+    eps[ln_sel, :3] = eps[ln_sel, :3] @ T_R.T + T_t
+    eps[ln_sel, 3:] = eps[ln_sel, 3:] @ T_R.T + T_t
+    pluck = np.array(lg.plucker_from_endpoints(
+        jnp.asarray(eps[:, :3]), jnp.asarray(eps[:, 3:])))
+    pluck = np.where(np.array(st.ln_valid)[:, None], pluck,
+                     np.array(st.ln_pluck))
+    slam.state = st._replace(
+        kf_pose=jnp.asarray(pose), lm_pos=jnp.asarray(lm),
+        ln_endpoints=jnp.asarray(eps), ln_pluck=jnp.asarray(pluck),
+    )
+    Rp, tp = slam.pose
+    slam.pose = (Rp @ jnp.asarray(T_R_inv), Rp @ jnp.asarray(T_t_inv) + tp)
+
+    n_drifted = int(ln_sel.sum())
+    for img, depth, ts in frames[n_out:]:
+        slam.feed_RGBD_frame(img, depth, ts)
+    slam.shutdown()
+    m = slam.metrics()
+    assert m["loops_closed"] >= 1, f"no organic loop closure fired: {m}"
+
+    # All valid line endpoints — including the ones that were drifted —
+    # must be near the true scene planes again.
+    ln_valid = np.asarray(slam.state.ln_valid)
+    eps2 = np.asarray(slam.state.ln_endpoints)[ln_valid]
+    z = np.concatenate([eps2[:, 2], eps2[:, 5]])
+    near_plane = (np.abs(z - 6.0) < 0.5) | (np.abs(z - 3.5) < 0.5)
+    assert n_drifted >= 2, f"setup failed: only {n_drifted} drifted lines"
+    assert near_plane.mean() > 0.7, (
+        f"line endpoints off-plane after loop correction: {np.sort(z)}"
+    )

@@ -144,6 +144,78 @@ def test_rgbd_loop_closure_corrects_injected_drift(rng):
 
 
 @pytest.mark.slow
+def test_organic_loop_closure_from_feed_only(rng):
+    """Loop closing fires from ``feed_RGBD_frame`` ALONE — no manual
+    detect/validate/correct calls. Setup: build the map outbound, inject a
+    rigid drift into the later sub-map (larger than the tracker's
+    association windows, so the revisit cannot silently re-attach), then
+    feed the return leg with loop closing ENABLED. The loop closer must
+    detect the revisit (min-score + covisibility-set continuity over >= 3
+    consecutive keyframes, loop_detector.cc:102-127), validate the Sim3
+    and correct the map organically (round-1 VERDICT next-step 3).
+
+    A drift-free run closes no loop BY DESIGN: without drift the tracker
+    re-attaches to the old landmarks as they enter the local map, early
+    keyframes become covisible again, and detect correctly sees no
+    loop-closure candidate (verified by test_rgbd_out_and_back_ate)."""
+    import jax.numpy as jnp
+    from structure_plp_slam_tpu.ops import lie
+
+    cam = _camera(CameraSetup.RGBD)
+    cfg = Config(camera=cam, orb=_orb(), raw={})
+    frames, poses = _out_and_back(
+        rng, cam, out_frames=24, step=0.4, plane_half=14.0, tex_size=1536
+    )
+    n_out = len(frames) // 2
+    slam = System(cfg, max_keyframes=64, max_landmarks=24576, max_kf_interval=2)
+    slam.startup()
+    for img, depth, ts in frames[:n_out]:
+        slam.feed_RGBD_frame(img, depth, ts)
+    assert slam.tracking_state is TrackerState.TRACKING
+    kf_cut = slam.next_kf // 2
+
+    # Same drift surgery as the injected-drift test above.
+    T_R = np.array(lie.so3_exp(jnp.asarray(np.array([[0.0, 0.05, 0.0]]), jnp.float32)))[0]
+    T_t = np.array([0.9, 0.0, 0.3], np.float32)
+    st = slam.state
+    K = st.kf_pose.shape[0]
+    kf_sel = (np.arange(K) >= kf_cut) & np.array(st.kf_valid)
+    pose = np.array(st.kf_pose)
+    T_R_inv = T_R.T
+    T_t_inv = -T_R.T @ T_t
+    for k in np.where(kf_sel)[0]:
+        R, t = pose[k, :, :3], pose[k, :, 3]
+        pose[k, :, :3] = R @ T_R_inv
+        pose[k, :, 3] = R @ T_t_inv + t
+    lm_sel = (np.array(st.lm_ref_kf) >= kf_cut) & np.array(st.lm_valid)
+    lm = np.array(st.lm_pos)
+    lm[lm_sel] = lm[lm_sel] @ T_R.T + T_t
+    slam.state = st._replace(kf_pose=jnp.asarray(pose), lm_pos=jnp.asarray(lm))
+    Rp, tp = slam.pose
+    slam.pose = (Rp @ jnp.asarray(T_R_inv), Rp @ jnp.asarray(T_t_inv) + tp)
+
+    # Return with loop closing ON: detection, Sim3 validation, correction,
+    # pose graph and global BA all run from the feed path alone.
+    assert slam.enable_loop_closing
+    for img, depth, ts in frames[n_out:]:
+        slam.feed_RGBD_frame(img, depth, ts)
+    slam.shutdown()
+    m = slam.metrics()
+    assert m["loops_closed"] >= 1, f"no organic loop closure fired: {m}"
+
+    # The final keyframe must be near ground truth (drift collapsed).
+    kf_last = int(np.argmax(np.array(slam.state.kf_timestamp)
+                            * np.array(slam.state.kf_valid)))
+    P_last = np.array(slam.state.kf_pose[kf_last])
+    C_last = -P_last[:, :3].T @ P_last[:, 3]
+    kf_ts = float(np.array(slam.state.kf_timestamp[kf_last]))
+    idx = int(round(kf_ts * 30.0))
+    R_gt, t_gt = poses[idx]
+    C_gt = -R_gt.T @ t_gt
+    assert np.linalg.norm(C_last - C_gt) < 0.35, np.linalg.norm(C_last - C_gt)
+
+
+@pytest.mark.slow
 def test_relocalization_after_blackout(rng):
     cam = _camera(CameraSetup.RGBD)
     cfg = Config(camera=cam, orb=_orb(), raw={})
