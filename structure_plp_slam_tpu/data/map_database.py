@@ -1,112 +1,52 @@
-"""Capacity growth for the fixed-shape SoA MapState.
+"""Capacity growth for the SoA map state.
 
-The reference's map database grows unboundedly on the heap
-(src/PLPSLAM/data/map_database.h:59-270 — keyframes/landmarks are
-new-allocated objects). Static XLA shapes cannot grow in place, so the
-TPU-native growth policy is capacity DOUBLING: when a slot counter nears
-its capacity, the host pads every affected array to twice the size (a
-one-time device-side concat) and jitted modules re-specialize on the new
-shapes (compilation is cached per shape, so each doubling compiles once).
+The reference's map grows unboundedly (heap keyframe/landmark objects,
+src/PLPSLAM/data/map_database.h:59-270). Here capacities are static jit
+shapes, so growth is a reallocation: build a fresh MapState at the larger
+capacity and copy the old arrays into its prefix. Every jitted module then
+re-specializes on the new shapes — one recompilation per capacity step,
+and capacities double, so a sequence of any length pays only O(log)
+growth events.
 
-Amortized cost is O(map) copies total — the classic dynamic-array
-argument — plus one recompile per doubling. Padding fill values mirror
-``map_state.create`` (invalid slots: valid=False, indices=-1).
+``System`` triggers growth automatically (auto_grow=True) just before an
+insertion would hit a cap; ids are stable (slot indices never move), so
+no host bookkeeping — continuity sets, trajectory records, loop edges —
+needs fixing up.
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-from structure_plp_slam_tpu.data.map_state import MapState
+from structure_plp_slam_tpu.data import map_state as ms
 
 
-def _pad(arr, axis: int, extra: int, fill):
-    pad_shape = list(arr.shape)
-    pad_shape[axis] = extra
-    return jnp.concatenate(
-        [arr, jnp.full(pad_shape, fill, arr.dtype)], axis=axis
-    )
-
-
-def grow_keyframes(state: MapState, new_max: int) -> MapState:
-    """Grow keyframe capacity K (axis 0 of all kf_* arrays)."""
+def grow(state: ms.MapState, *, grow_kf: bool = False, grow_lm: bool = False,
+         grow_ln: bool = False, grow_pl: bool = False,
+         factor: int = 2) -> ms.MapState:
+    """Return a state with the selected capacities multiplied by
+    ``factor``; existing slots keep their indices and contents."""
     K = state.kf_pose.shape[0]
-    if new_max <= K:
-        return state
-    e = new_max - K
-    eye_pose = jnp.tile(
-        jnp.concatenate(
-            [jnp.eye(3, dtype=jnp.float32), jnp.zeros((3, 1), jnp.float32)], 1
-        )[None],
-        (e, 1, 1),
-    )
-    return state._replace(
-        kf_pose=jnp.concatenate([state.kf_pose, eye_pose], 0),
-        kf_valid=_pad(state.kf_valid, 0, e, False),
-        kf_timestamp=_pad(state.kf_timestamp, 0, e, 0.0),
-        kf_xy=_pad(state.kf_xy, 0, e, 0.0),
-        kf_xr=_pad(state.kf_xr, 0, e, -1.0),
-        kf_depth=_pad(state.kf_depth, 0, e, 0.0),
-        kf_level=_pad(state.kf_level, 0, e, 0),
-        kf_angle=_pad(state.kf_angle, 0, e, 0.0),
-        kf_desc=_pad(state.kf_desc, 0, e, 0),
-        kf_bearing=_pad(state.kf_bearing, 0, e, 0.0),
-        kf_kp_valid=_pad(state.kf_kp_valid, 0, e, False),
-        kf_lm_idx=_pad(state.kf_lm_idx, 0, e, -1),
-        kf_seg=_pad(state.kf_seg, 0, e, 0.0),
-        kf_seg_depth=_pad(state.kf_seg_depth, 0, e, 0.0),
-        kf_seg_desc=_pad(state.kf_seg_desc, 0, e, 0.0),
-        kf_seg_valid=_pad(state.kf_seg_valid, 0, e, False),
-        kf_line_idx=_pad(state.kf_line_idx, 0, e, -1),
-    )
-
-
-def grow_landmarks(state: MapState, new_max: int) -> MapState:
-    """Grow point-landmark capacity L."""
+    N = state.kf_xy.shape[1]
     L = state.lm_pos.shape[0]
-    if new_max <= L:
-        return state
-    e = new_max - L
-    return state._replace(
-        lm_pos=_pad(state.lm_pos, 0, e, 0.0),
-        lm_valid=_pad(state.lm_valid, 0, e, False),
-        lm_desc=_pad(state.lm_desc, 0, e, 0),
-        lm_normal=_pad(state.lm_normal, 0, e, 0.0),
-        lm_dist_min=_pad(state.lm_dist_min, 0, e, 0.0),
-        lm_dist_max=_pad(state.lm_dist_max, 0, e, 0.0),
-        lm_ref_kf=_pad(state.lm_ref_kf, 0, e, -1),
-        lm_n_vis=_pad(state.lm_n_vis, 0, e, 0),
-        lm_n_fnd=_pad(state.lm_n_fnd, 0, e, 0),
-        lm_plane=_pad(state.lm_plane, 0, e, -1),
-    )
-
-
-def grow_lines(state: MapState, new_max: int) -> MapState:
-    """Grow line-landmark capacity L2."""
+    ML = state.kf_seg.shape[1]
     L2 = state.ln_pluck.shape[0]
-    if new_max <= L2:
-        return state
-    e = new_max - L2
-    return state._replace(
-        ln_pluck=_pad(state.ln_pluck, 0, e, 0.0),
-        ln_endpoints=_pad(state.ln_endpoints, 0, e, 0.0),
-        ln_desc=_pad(state.ln_desc, 0, e, 0.0),
-        ln_valid=_pad(state.ln_valid, 0, e, False),
-        ln_ref_kf=_pad(state.ln_ref_kf, 0, e, -1),
-        ln_n_vis=_pad(state.ln_n_vis, 0, e, 0),
-        ln_n_fnd=_pad(state.ln_n_fnd, 0, e, 0),
-    )
-
-
-def grow_planes(state: MapState, new_max: int) -> MapState:
-    """Grow plane capacity P."""
+    LD = state.ln_desc.shape[1]
     P = state.pl_coef.shape[0]
-    if new_max <= P:
-        return state
-    e = new_max - P
-    return state._replace(
-        pl_coef=_pad(state.pl_coef, 0, e, 0.0),
-        pl_valid=_pad(state.pl_valid, 0, e, False),
-        pl_needs_refresh=_pad(state.pl_needs_refresh, 0, e, False),
-        pl_ref_kf=_pad(state.pl_ref_kf, 0, e, -1),
+    new = ms.create(
+        max_keyframes=K * factor if grow_kf else K,
+        max_kps=N,
+        max_landmarks=L * factor if grow_lm else L,
+        max_lines_per_kf=ML,
+        max_line_landmarks=L2 * factor if grow_ln else L2,
+        line_desc_dim=LD,
+        max_planes=P * factor if grow_pl else P,
     )
+    out = {}
+    for name in state._fields:
+        old_arr = getattr(state, name)
+        new_arr = getattr(new, name)
+        if old_arr.shape == new_arr.shape:
+            out[name] = old_arr
+        else:
+            idx = tuple(slice(0, s) for s in old_arr.shape)
+            out[name] = new_arr.at[idx].set(old_arr)
+    return ms.MapState(**out)

@@ -10,10 +10,10 @@ update); compaction is a gather. There are no locks: updates are functional
 array donations sequenced by the host orchestrator.
 
 Capacity policy: capacities are static (jit shapes). When a capacity
-fills, the host grows the arrays by doubling (data/map_database.py grow_*
-helpers; System calls them before insertion) and jit re-specializes on the
-new shapes — in practice the defaults hold a full TUM/EuRoC sequence
-without growing.
+fills, the host grows the arrays by doubling (data/map_database.py
+``grow``; System triggers it automatically before an insertion would hit
+a cap) and jit re-specializes on the new shapes — in practice the
+defaults hold a full TUM/EuRoC sequence without growing.
 
 Observation model: each keyframe has ``max_kps`` keypoint slots;
 ``kf_lm_idx[k, i]`` is the landmark id observed by keypoint i (or -1).

@@ -451,6 +451,10 @@ def local_ba(
     K = state.kf_pose.shape[0]
     L = state.lm_pos.shape[0]
     N = state.kf_xy.shape[1]
+    # Clamp window sizes to the (possibly small, pre-growth) capacities.
+    max_opt = min(max_opt, K)
+    max_fix = min(max_fix, K)
+    max_lms = min(max_lms, L)
 
     ind = ms.observation_indicator(state)  # [K, L]
     W_cur = ind @ ind[current_kf]

@@ -196,7 +196,14 @@ class System:
         max_kf_interval: Optional[int] = None,
         min_kf_interval: int = 0,
         track_lag: int = 2,
+        auto_grow: bool = True,
     ):
+        # ``auto_grow``: double map capacities (keyframes / landmarks /
+        # lines / planes) just before an insertion would hit a cap — the
+        # reference's unbounded map_database growth (map_database.h:59-270)
+        # re-expressed as O(log) reallocation + jit re-specialization
+        # events (data/map_database.py).
+        self.auto_grow = bool(auto_grow)
         # ``track_lag``: how many frames the host-side decisions (lost
         # check, keyframe insertion, trajectory record) may trail the
         # device dispatch. 0 = fully synchronous (reference per-frame
@@ -323,6 +330,15 @@ class System:
     def _drain_pending(self):
         while self._pending:
             self._consume(self._pending.popleft())
+
+    def _grow(self, **kw):
+        """Double selected map capacities in place (slot ids stable)."""
+        from structure_plp_slam_tpu.data import map_database
+
+        self._state = map_database.grow(self._state, **kw)
+        self.max_keyframes = self._state.kf_pose.shape[0]
+        self.max_landmarks = self._state.lm_pos.shape[0]
+        self._invalidate_map_cache()
 
     # ------------------------------------------------------------------
     # Lifecycle (reference: system::startup/shutdown/reset).
@@ -547,6 +563,27 @@ class System:
         self.ref_kf = ref_kf_host
         self._publish(entry.feats, entry.res.kp_lm, ts, num_tracked,
                       kp_plane=entry.kp_plane)
+
+        # Capacity growth just before the walls (reference: unbounded
+        # map_database growth; here doubling + jit re-specialization).
+        if self.enable_mapping and self.auto_grow:
+            if self.next_kf >= self.max_keyframes - 1:
+                self._grow(grow_kf=True)
+            if next_lm_host >= self.max_landmarks - 2 * self.frontend.pad_to:
+                self._grow(grow_lm=True)
+            if (
+                (self.with_lines or entry.seg_mask is not None)
+                and self.next_kf % 8 == 7
+            ):
+                n_ln, n_pl = (int(v) for v in jax.device_get(
+                    (self.next_line, self.next_plane)))
+                ML = self.frontend.max_lines if self.with_lines else 0
+                if self.with_lines and n_ln >= (
+                    self._state.ln_pluck.shape[0] - 2 * ML
+                ):
+                    self._grow(grow_ln=True)
+                if n_pl >= self._state.pl_coef.shape[0] - 8:
+                    self._grow(grow_pl=True)
 
         # Keyframe decision (reference: keyframe_inserter.cc:54-114).
         # Condition B (required): enough matches, and either the tracked
