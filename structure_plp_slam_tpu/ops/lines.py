@@ -44,7 +44,7 @@ NUM_SAMPLES = 16
 # 8-stat bands (binary_descriptor_custom.cpp), plus a band-intensity
 # context term that disambiguates parallel lines with identical edge
 # profiles but different surroundings.
-DESC_DIM = NUM_BANDS * 5
+DESC_DIM = NUM_BANDS * 7
 
 
 def sobel_gradients(img):
@@ -70,7 +70,7 @@ def detect_line_segments(
     key,
     *,
     num_points: int = 2048,
-    num_hypotheses: int = 512,
+    num_hypotheses: int = 2048,
     max_lines: int = 64,
     min_length: float = 40.0,
     inlier_dist: float = 1.5,
@@ -82,11 +82,26 @@ def detect_line_segments(
     gx, gy = sobel_gradients(img)
     mag = jnp.sqrt(gx * gx + gy * gy)
 
-    # Edge point selection: strongest gradient per cell, then global top-P.
+    # Directional non-maximum suppression: keep only ridge pixels — local
+    # maxima of |grad| ALONG the gradient direction (approximated by the
+    # dominant axis). Thins every edge to ~1 px so the per-cell budget
+    # goes to real contours instead of texture blobs (the LSD/Canny
+    # standard; without it a gradient-rich natural texture floods the
+    # edge-point set and line support drowns).
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), (0, 1))
+
+    horiz = jnp.abs(gx) >= jnp.abs(gy)
+    nms_x = (mag >= shift(mag, 0, 1)) & (mag >= shift(mag, 0, -1))
+    nms_y = (mag >= shift(mag, 1, 0)) & (mag >= shift(mag, -1, 0))
+    ridge = jnp.where(horiz, nms_x, nms_y)
+    mag_nms = jnp.where(ridge, mag, 0.0)
+
+    # Edge point selection: strongest ridge pixels per cell, then top-P.
     xy, resp, valid_p = fast_ops.select_keypoints(
-        jnp.where(mag >= grad_thr, mag, 0.0),
+        jnp.where(mag_nms >= grad_thr, mag_nms, 0.0),
         cell=8,
-        per_cell=2,
+        per_cell=3,
         max_total=num_points,
         margin=4,
     )
@@ -124,19 +139,90 @@ def detect_line_segments(
     gdotn = jnp.abs(pgx[None, :] * nx[:, None] + pgy[None, :] * ny[:, None]) / pmag[None, :]
     inl = (dist <= inlier_dist) & (gdotn >= 0.85) & valid_p[None, :]
 
-    # Projections along the line for endpoint/coverage statistics.
+    # Refit each hypothesis to its inliers (total least squares): the
+    # proposing pixel's Sobel direction is single-pixel noisy (a 1-2 deg
+    # tilt moves a 100 px segment's far end several pixels — measured
+    # repeatability killer). The TLS direction is the principal axis of
+    # the inlier scatter; then re-gate inliers with the refit line.
+    w = inl.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mx = jnp.sum(w * px[None, :], axis=1) / cnt
+    my = jnp.sum(w * py[None, :], axis=1) / cnt
+    dxp = px[None, :] - mx[:, None]
+    dyp = py[None, :] - my[:, None]
+    sxx = jnp.sum(w * dxp * dxp, axis=1)
+    sxy = jnp.sum(w * dxp * dyp, axis=1)
+    syy = jnp.sum(w * dyp * dyp, axis=1)
+    # Principal axis of the 2x2 scatter (closed form).
+    theta = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
+    dirx2, diry2 = jnp.cos(theta), jnp.sin(theta)
+    # Keep orientation continuity with the proposal (sign only).
+    flip = jnp.sign(dirx2 * dirx + diry2 * diry)
+    flip = jnp.where(flip == 0, 1.0, flip)
+    dirx = dirx2 * flip
+    diry = diry2 * flip
+    nx, ny = -diry, dirx
+    ax, ay = mx, my
+    dist = jnp.abs(
+        nx[:, None] * (px[None, :] - ax[:, None])
+        + ny[:, None] * (py[None, :] - ay[:, None])
+    )
+    # Polarity-consistent support: along a real edge the gradient keeps
+    # ONE sign relative to the line normal (bright-to-dark stays
+    # bright-to-dark); accidental alignments of texture points have mixed
+    # signs. Keep the majority polarity only — this alone removes most
+    # phantom full-image lines.
+    sdot = (
+        pgx[None, :] * nx[:, None] + pgy[None, :] * ny[:, None]
+    ) / pmag[None, :]
+    near = (dist <= inlier_dist) & valid_p[None, :]
+    inl_pos = near & (sdot >= 0.85)
+    inl_neg = near & (sdot <= -0.85)
+    use_pos = jnp.sum(inl_pos, axis=1) >= jnp.sum(inl_neg, axis=1)
+    inl = jnp.where(use_pos[:, None], inl_pos, inl_neg)
+
+    # Projections along the line.
     t = dirx[:, None] * (px[None, :] - ax[:, None]) + diry[:, None] * (
         py[None, :] - ay[:, None]
     )
-    t_masked_lo = jnp.where(inl, t, 1e9)
-    t_masked_hi = jnp.where(inl, t, -1e9)
-    t_min = jnp.min(t_masked_lo, axis=1)
-    t_max = jnp.max(t_masked_hi, axis=1)
+
+    # Contiguity: the reference's LSD grows a connected region; the batch
+    # equivalent bins inliers along the line (8 px bins) and keeps each
+    # hypothesis's LONGEST CONTIGUOUS RUN of occupied bins (1-bin gaps
+    # tolerated via dilation). A random alignment scatters its support
+    # across the whole image and leaves only short runs.
+    BIN = 8.0
+    T0 = float(np.hypot(H, W))
+    nbins = int(2 * T0 / BIN) + 2
+    t_bin = jnp.clip(((t + T0) / BIN).astype(jnp.int32), 0, nbins - 1)
+    S = t.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, t_bin.shape, 0)
+    occ = jnp.zeros((S, nbins), bool).at[rows, t_bin].max(inl)
+    occ_d = occ | jnp.roll(occ, 1, axis=1) | jnp.roll(occ, -1, axis=1)
+
+    def run_step(carry, b):
+        run, best_len, best_end = carry
+        o = occ_d[:, b]
+        run = jnp.where(o, run + 1, 0)
+        better = run > best_len
+        best_len = jnp.where(better, run, best_len)
+        best_end = jnp.where(better, b, best_end)
+        return (run, best_len, best_end), None
+
+    zero_s = jnp.zeros((S,), jnp.int32)
+    (_, best_len, best_end), _ = jax.lax.scan(
+        run_step, (zero_s, zero_s, zero_s), jnp.arange(nbins)
+    )
+    t_lo = (best_end - best_len + 1).astype(jnp.float32) * BIN - T0 - BIN
+    t_hi = (best_end + 1).astype(jnp.float32) * BIN - T0 + BIN
+    in_run = inl & (t >= t_lo[:, None]) & (t <= t_hi[:, None])
+    t_min = jnp.min(jnp.where(in_run, t, 1e9), axis=1)
+    t_max = jnp.max(jnp.where(in_run, t, -1e9), axis=1)
     seg_len = t_max - t_min
-    count = jnp.sum(inl, axis=1)
-    # Coverage: inliers per unit length (edge points are ~cell-dense, so a
-    # real segment has roughly 1 inlier / cell).
-    coverage = count.astype(jnp.float32) / jnp.maximum(seg_len / 8.0, 1.0)
+    count = jnp.sum(in_run, axis=1)
+    # Density over the run: a real contour populates most of its bins
+    # with >= 1 edge point.
+    coverage = count.astype(jnp.float32) / jnp.maximum(seg_len / BIN, 1.0)
     score = jnp.where(
         ok_h & (seg_len >= min_length) & (coverage >= 0.8),
         count.astype(jnp.float32),
@@ -154,11 +240,14 @@ def detect_line_segments(
         s_best = score_live[best]
         # Suppress near-duplicates: |cos angle| high and |rho| close and
         # overlapping t-range.
-        cosang = jnp.abs(nx * nx[best] + ny * ny[best])
-        rho_d = jnp.abs(jnp.abs(rho) - jnp.abs(rho[best]))
-        overlap = ~(
-            (t_min + (dirx * ax + diry * ay) > t_max[best] + (dirx[best] * ax[best] + diry[best] * ay[best]))
-        )
+        ndot = nx * nx[best] + ny * ny[best]
+        cosang = jnp.abs(ndot)
+        # Same geometric line iff normals align up to a JOINT sign flip of
+        # (n, rho): compare rho against sign(ndot) * rho_best (comparing
+        # |rho| would also dedup distinct parallel lines mirrored about
+        # the origin).
+        sgn = jnp.where(ndot >= 0, 1.0, -1.0)
+        rho_d = jnp.abs(rho - sgn * rho[best])
         dup = (cosang > 0.985) & (rho_d < 6.0)
         score_live = jnp.where(dup, 0.0, score_live)
         score_live = score_live.at[best].set(0.0)
@@ -192,6 +281,26 @@ def line_band_descriptors(img, seg, valid):
     H, W = img.shape
     gx, gy = sobel_gradients(img)
     x1, y1, x2, y2 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+
+    # Canonical orientation: endpoint order is detector-arbitrary, and a
+    # swapped order would MIRROR the bands and negate both gradient
+    # components (measured: true matches drop to ~0.4 cosine). Orient each
+    # segment so the mean on-line perpendicular gradient is positive —
+    # the same physical edge then always yields the same band frame
+    # (the reference LBD fixes its frame by the gradient too).
+    dx0, dy0 = x2 - x1, y2 - y1
+    len0 = jnp.maximum(jnp.sqrt(dx0 * dx0 + dy0 * dy0), 1e-6)
+    nx0, ny0 = -dy0 / len0, dx0 / len0
+    tsf = jnp.linspace(0.1, 0.9, 8)
+    fx = jnp.clip((x1[:, None] + tsf[None] * dx0[:, None]).astype(jnp.int32),
+                  0, W - 1)
+    fy = jnp.clip((y1[:, None] + tsf[None] * dy0[:, None]).astype(jnp.int32),
+                  0, H - 1)
+    gp0 = gx[fy, fx] * nx0[:, None] + gy[fy, fx] * ny0[:, None]
+    flip = jnp.sum(gp0, axis=1) < 0
+    x1, x2 = jnp.where(flip, x2, x1), jnp.where(flip, x1, x2)
+    y1, y2 = jnp.where(flip, y2, y1), jnp.where(flip, y1, y2)
+
     dx = x2 - x1
     dy = y2 - y1
     length = jnp.sqrt(dx * dx + dy * dy)
@@ -221,9 +330,20 @@ def line_band_descriptors(img, seg, valid):
     g_per = sgx * nx[:, None, None] + sgy * ny[:, None, None]
     inten = img[yi, xi]  # [M, T, B]
     # Band-relative intensity: invariant to global brightness, keeps the
-    # cross-band contrast pattern.
+    # cross-band contrast pattern. Computed per line-HALF as well — the
+    # canonical orientation makes halves comparable across views, and
+    # along-line structure (intensity ramps, asymmetric context) is what
+    # separates visually similar parallel lines.
     band_mean = jnp.mean(inten, axis=1)  # [M, B]
     band_rel = band_mean - jnp.mean(band_mean, axis=1, keepdims=True)
+    half = NUM_SAMPLES // 2
+    half_mean = jnp.stack(
+        [jnp.mean(inten[:, :half], axis=1), jnp.mean(inten[:, half:], axis=1)],
+        axis=-1,
+    )  # [M, B, 2]
+    half_rel = (
+        half_mean - jnp.mean(half_mean, axis=(1, 2), keepdims=True)
+    ).reshape(inten.shape[0], -1)
     feat = jnp.concatenate(
         [
             jnp.mean(g_par, axis=1),
@@ -231,9 +351,10 @@ def line_band_descriptors(img, seg, valid):
             jnp.std(g_par, axis=1),
             jnp.std(g_per, axis=1),
             band_rel * 0.5,  # balance scale vs gradient stats
+            half_rel * 0.5,
         ],
         axis=1,
-    )  # [M, 5B]
+    )  # [M, 7B]
     n = jnp.linalg.norm(feat, axis=1, keepdims=True)
     feat = feat / jnp.where(n < 1e-6, 1.0, n)
     return jnp.where(valid[:, None], feat, 0.0)
