@@ -149,14 +149,30 @@ def ba_solve(
     O = prob.obs_lm.shape[0]
     if obs_grid:
         Ng = O // C
-        oh_grid = onehot_lm.reshape(C, Ng, M)
+        # bf16 halves the HBM traffic of the (hundreds-of-MB) one-hot
+        # read; 0/1 are exact in bf16 and the contraction accumulates in
+        # f32 after the on-chip upconversion.
+        oh_grid = onehot_lm.reshape(C, Ng, M).astype(jnp.bfloat16)
 
         def assemble(Hcc_o, Hll_o, Hcl_o, bc_o, bl_o):
             Hcc = jnp.sum(Hcc_o.reshape(C, Ng, 6, 6), axis=1)
             bc = jnp.sum(bc_o.reshape(C, Ng, 6), axis=1)
-            Hll = jnp.einsum("cnm,cnij->mij", oh_grid, Hll_o.reshape(C, Ng, 3, 3))
-            bl = jnp.einsum("cnm,cni->mi", oh_grid, bl_o.reshape(C, Ng, 3))
-            W = jnp.einsum("cnm,cnij->mcij", oh_grid, Hcl_o.reshape(C, Ng, 6, 3))
+            # ONE contraction against the [C, Ng, M] one-hot for all three
+            # landmark-indexed reductions: the one-hot buffer (hundreds of
+            # MB) is the bandwidth cost, so it must be read once, not
+            # three times.
+            blk = jnp.concatenate(
+                [
+                    Hll_o.reshape(C, Ng, 9),
+                    bl_o.reshape(C, Ng, 3),
+                    Hcl_o.reshape(C, Ng, 18),
+                ],
+                axis=-1,
+            )  # [C, Ng, 30]
+            out = jnp.einsum("cnm,cnd->mcd", oh_grid, blk)  # [M, C, 30]
+            Hll = jnp.sum(out[:, :, 0:9], axis=1).reshape(M, 3, 3)
+            bl = jnp.sum(out[:, :, 9:12], axis=1)
+            W = out[:, :, 12:30].reshape(M, C, 6, 3)
             return Hcc, Hll, bc, bl, W
     else:
         onehot_cam = (
