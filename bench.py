@@ -67,7 +67,7 @@ def main(breakdown: bool = False):
         fps=30.0,
         focal_x_baseline=40.0,
         depth_threshold=40.0,
-        depthmap_factor=1.0,
+        depthmap_factor=5000.0,
     )
     cfg = Config(camera=cam, orb=OrbParams(max_num_keypts=1000, num_levels=8),
                  raw={})
@@ -83,7 +83,12 @@ def main(breakdown: bool = False):
     for i, (R, t) in enumerate(poses):
         img, depth = sc.render(cam, tex, R, t)
         seg = np.where(depth < 4.5, 1, 2).astype(np.int32)
-        frames.append((img, depth, seg, float(i) / 30.0))
+        # Feed what a real sensor feeds: uint8 gray + uint16 depth (TUM
+        # 5000-per-meter convention) — 0.6 MB/frame host->device instead
+        # of 2.4 MB of f32; grayscale/depth conversion runs on device.
+        img8 = np.clip(img, 0, 255).astype(np.uint8)
+        d16 = np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
+        frames.append((img8, d16, seg, float(i) / 30.0))
 
     # ---- full system: warmup pass compiles every stage (incl. the
     # keyframe chain, local BA, plane fitting, loop detection) ----------
