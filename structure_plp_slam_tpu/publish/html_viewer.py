@@ -143,6 +143,17 @@ def map_data(map_publisher, max_points: int = 20000) -> dict:
     if len(pts) > max_points:
         sel = np.random.default_rng(0).choice(len(pts), max_points, replace=False)
         pts, cols = pts[sel], cols[sel]
+    # Dense RGB-D cloud (present when the System stores per-keyframe
+    # strided depth images; reference: viewer.h:132-133 dense display).
+    dpts, dgray = snap.get_dense_cloud()
+    if len(dpts):
+        if len(dpts) > max_points:
+            sel = np.random.default_rng(1).choice(
+                len(dpts), max_points, replace=False)
+            dpts, dgray = dpts[sel], dgray[sel]
+        dcols = np.stack([dgray, dgray, dgray], axis=1)
+        pts = np.concatenate([pts, dpts]) if len(pts) else dpts
+        cols = np.concatenate([cols, dcols]) if len(cols) else dcols
     kfs = snap.get_keyframe_poses()
     lines = snap.get_lines()
     planes = snap.get_planes()

@@ -45,7 +45,13 @@ class MapPublisher:
         must use this instead of calling the getters repeatedly (each
         getter re-reads the live state and can see different versions).
         """
-        return MapSnapshot(self._sys.state, self._current_pose)
+        sysm = self._sys
+        return MapSnapshot(
+            sysm.state, self._current_pose,
+            camera=sysm.camera,
+            dense_frames=dict(getattr(sysm, "_dense_frames", {})),
+            dense_stride=getattr(sysm, "dense_cloud_stride", 8),
+        )
 
     def get_landmarks(self) -> np.ndarray:
         return self.snapshot().get_landmarks()
@@ -65,6 +71,14 @@ class MapPublisher:
     def get_planes(self) -> np.ndarray:
         """[P, 4] plane coefficients."""
         return self.snapshot().get_planes()
+
+    def get_dense_cloud(self, max_points_per_kf: int = 3000):
+        """(points [N,3], gray [N] u8) backprojected from the stored
+        per-keyframe strided RGB-D images under CURRENT keyframe poses
+        (reference: the viewer's dense RGB-D cloud display,
+        pangolin_viewer/viewer.h:132-133). Empty unless the System was
+        built with store_dense_cloud=True."""
+        return self.snapshot().get_dense_cloud(max_points_per_kf)
 
     # -- export --------------------------------------------------------
     def export_html(self, path: str, max_points: int = 20000):
@@ -104,9 +118,13 @@ class MapSnapshot:
     """Read-only view over ONE MapState capture (see
     :meth:`MapPublisher.snapshot`). Same getter API as the publisher."""
 
-    def __init__(self, state, current_pose):
+    def __init__(self, state, current_pose, camera=None, dense_frames=None,
+                 dense_stride: int = 8):
         self._state = state
         self._current_pose = current_pose
+        self._camera = camera
+        self._dense_frames = dense_frames or {}
+        self._dense_stride = dense_stride
 
     def get_current_cam_pose(self) -> Optional[np.ndarray]:
         p = self._current_pose
@@ -147,3 +165,43 @@ class MapSnapshot:
         st = self._state
         valid = np.asarray(st.pl_valid)
         return np.asarray(st.pl_coef)[valid]
+
+    def get_dense_cloud(self, max_points_per_kf: int = 3000):
+        """See MapPublisher.get_dense_cloud."""
+        cam = self._camera
+        if cam is None or not self._dense_frames:
+            return np.zeros((0, 3), np.float32), np.zeros((0,), np.uint8)
+        st = self._state
+        kf_pose = np.asarray(st.kf_pose)
+        kf_valid = np.asarray(st.kf_valid)
+        s = self._dense_stride
+        pts_all, gray_all = [], []
+        for slot, (gray, depth) in self._dense_frames.items():
+            if slot >= len(kf_valid) or not kf_valid[slot]:
+                continue
+            h, w = depth.shape
+            vs, us = np.mgrid[0:h, 0:w]
+            u0 = us * s + s // 2
+            v0 = vs * s + s // 2
+            ok = depth > 1e-6
+            if not ok.any():
+                continue
+            z = depth[ok]
+            x = (u0[ok] - cam.cx) / cam.fx * z
+            y = (v0[ok] - cam.cy) / cam.fy * z
+            pc = np.stack([x, y, z], -1)
+            if len(pc) > max_points_per_kf:
+                sel = np.random.default_rng(slot).choice(
+                    len(pc), max_points_per_kf, replace=False)
+                pc = pc[sel]
+                g = gray[ok][sel]
+            else:
+                g = gray[ok]
+            P = kf_pose[slot]
+            R, t = P[:, :3], P[:, 3]
+            pw = (pc - t) @ R  # R^T (pc - t)
+            pts_all.append(pw.astype(np.float32))
+            gray_all.append(g.astype(np.uint8))
+        if not pts_all:
+            return np.zeros((0, 3), np.float32), np.zeros((0,), np.uint8)
+        return np.concatenate(pts_all), np.concatenate(gray_all)

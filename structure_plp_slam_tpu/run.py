@@ -32,6 +32,10 @@ def _common(sub, need_dir: bool = True):
     sub.add_argument("--traj-format", choices=["tum", "kitti"], default="tum")
     sub.add_argument("--max-keyframes", type=int, default=256)
     sub.add_argument("--max-landmarks", type=int, default=32768)
+    sub.add_argument("--dense-cloud", action="store_true",
+                     help="store strided per-keyframe RGB-D images and show "
+                          "the dense cloud in viewers/exports (reference: "
+                          "pangolin viewer dense display)")
     sub.add_argument("--with-lines", action="store_true",
                      help="enable line tracking (reference: *_with_line drivers)")
     sub.add_argument("--mask-dir", default=None,
@@ -90,6 +94,7 @@ def main(argv=None):
     slam = System(
         cfg, max_keyframes=args.max_keyframes, max_landmarks=args.max_landmarks,
         with_lines=args.with_lines,
+        store_dense_cloud=getattr(args, "dense_cloud", False),
     )
     if args.map_db_in:
         slam.load_map_database(args.map_db_in)

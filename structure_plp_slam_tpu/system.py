@@ -29,9 +29,11 @@ Usage:
 from __future__ import annotations
 
 import collections
+import contextlib
 import dataclasses
 import enum
 import functools
+import time
 from typing import Any, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -51,6 +53,40 @@ from structure_plp_slam_tpu.models import (
 )
 from structure_plp_slam_tpu.camera import CameraModel, CameraSetup
 from structure_plp_slam_tpu.utils.types import round_up
+
+
+class StageTimer:
+    """Per-stage timing (reference: tracking_module.cc:607-645 verbose
+    stage timings). Wall-clock of the host-side section; with
+    ``synced=True`` each section additionally blocks on the device so the
+    numbers include device compute (debugging mode — it serializes the
+    pipeline, like the reference's verbose logging does)."""
+
+    def __init__(self, synced: bool = False):
+        self.synced = synced
+        self.times: dict = collections.defaultdict(list)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync_on=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if self.synced and sync_on is not None:
+                jax.block_until_ready(sync_on() if callable(sync_on) else sync_on)
+            self.times[name].append(time.perf_counter() - t0)
+
+    def summary(self) -> dict:
+        out = {}
+        for name, ts in self.times.items():
+            a = np.asarray(ts)
+            out[name] = {
+                "count": int(len(a)),
+                "mean_ms": round(float(a.mean()) * 1e3, 3),
+                "median_ms": round(float(np.median(a)) * 1e3, 3),
+                "max_ms": round(float(a.max()) * 1e3, 3),
+            }
+        return out
 
 
 class TrackerState(enum.Enum):
@@ -179,6 +215,7 @@ class _PendingFrame:
     seg_line_idx: Optional[jax.Array]
     frames_since_kf: int
     kp_plane: Optional[jax.Array] = None
+    dense: Optional[tuple] = None  # (gray_small u8, depth_small f32)
 
 
 class System:
@@ -197,7 +234,22 @@ class System:
         min_kf_interval: int = 0,
         track_lag: int = 2,
         auto_grow: bool = True,
+        verbose_timing: bool = False,
+        store_dense_cloud: bool = False,
+        dense_cloud_stride: int = 8,
     ):
+        # Dense RGB-D cloud display (reference: pangolin_viewer/viewer.h
+        # :132-133 draws the RGB-D point cloud): keep a strided copy of
+        # each keyframe's gray+depth images; viewers backproject them
+        # under the CURRENT keyframe poses (so the cloud follows BA/loop
+        # corrections).
+        self.store_dense_cloud = bool(store_dense_cloud)
+        self.dense_cloud_stride = int(dense_cloud_stride)
+        self._dense_frames: dict = {}
+        # Per-stage timing collection (reference's verbose timing logs,
+        # tracking_module.cc:607-645). verbose_timing=True syncs the
+        # device after each stage so stage times include device compute.
+        self.timer = StageTimer(synced=verbose_timing)
         # ``auto_grow``: double map capacities (keyframes / landmarks /
         # lines / planes) just before an insertion would hit a cap — the
         # reference's unbounded map_database growth (map_database.h:59-270)
@@ -367,6 +419,7 @@ class System:
     def reset(self):
         # Pending decisions refer to the map being destroyed; drop them.
         self._pending.clear()
+        self._dense_frames.clear()
         self._state = ms.create(
             self.max_keyframes, self.frontend.pad_to, self.max_landmarks
         )
@@ -393,26 +446,39 @@ class System:
         ``seg_mask``: optional [H, W] instance-id image (PlaneRecNet
         output; reference: the *_with_SegMask overloads).
         """
-        feats = self.frontend.mono(
-            img, self._split_key() if self.with_lines else None, mask=mask
-        )
+        with self.timer.stage("frontend", sync_on=lambda: feats["desc"]):
+            feats = self.frontend.mono(
+                img, self._split_key() if self.with_lines else None, mask=mask
+            )
         self._cur_seg_mask = seg_mask
         self._last_image = np.asarray(img)
         return self._track(feats, timestamp)
 
     def feed_RGBD_frame(self, img, depthmap, timestamp: float, mask=None,
                         seg_mask=None):
-        feats = self.frontend.rgbd(
-            img, depthmap, self._split_key() if self.with_lines else None,
-            mask=mask,
-        )
+        with self.timer.stage("frontend", sync_on=lambda: feats["desc"]):
+            feats = self.frontend.rgbd(
+                img, depthmap, self._split_key() if self.with_lines else None,
+                mask=mask,
+            )
         self._cur_seg_mask = seg_mask
+        if self.store_dense_cloud:
+            s = self.dense_cloud_stride
+            g = np.asarray(img)[s // 2::s, s // 2::s]
+            d = np.asarray(depthmap)[s // 2::s, s // 2::s].astype(np.float32)
+            self._cur_dense = (
+                np.clip(g, 0, 255).astype(np.uint8),
+                d * np.float32(1.0 / self.camera.depthmap_factor),
+            )
+        else:
+            self._cur_dense = None
         self._last_image = np.asarray(img)
         return self._track(feats, timestamp)
 
     def feed_stereo_frame(self, img_left, img_right, timestamp: float,
                           mask=None, seg_mask=None):
-        feats = self.frontend.stereo(img_left, img_right, mask=mask)
+        with self.timer.stage("frontend", sync_on=lambda: feats["desc"]):
+            feats = self.frontend.stereo(img_left, img_right, mask=mask)
         self._cur_seg_mask = seg_mask
         self._last_image = np.asarray(img_left)
         return self._track(feats, timestamp)
@@ -456,14 +522,15 @@ class System:
             R=Rp, t=tp, Rv=Rv, tv=tv,
             last_kp_lm=self.last_kp_lm, ref_kf=self._ref_kf_dev,
         )
-        self._state, res, carry2, packed, seg_lines, kp_plane = _track_step(
-            self.camera, self._state, feats, carry,
-            self.frontend.inv_sigma_sq, self._obs_indicator(),
-            min_obs_dev, self.next_lm,
-            num_levels=self.frontend.extractor.params.num_levels,
-            scale_factor=self.frontend.extractor.params.scale_factor,
-            with_lines=self.with_lines,
-        )
+        with self.timer.stage("track", sync_on=lambda: packed):
+            self._state, res, carry2, packed, seg_lines, kp_plane = _track_step(
+                self.camera, self._state, feats, carry,
+                self.frontend.inv_sigma_sq, self._obs_indicator(),
+                min_obs_dev, self.next_lm,
+                num_levels=self.frontend.extractor.params.num_levels,
+                scale_factor=self.frontend.extractor.params.scale_factor,
+                with_lines=self.with_lines,
+            )
         self.pose = (carry2.R, carry2.t)
         self.vel = (carry2.Rv, carry2.tv)
         self.last_kp_lm = carry2.last_kp_lm
@@ -483,6 +550,7 @@ class System:
             packed=packed, feats=feats, ts=ts, res=res,
             seg_mask=self._cur_seg_mask, seg_line_idx=self._seg_line_idx,
             frames_since_kf=self.frames_since_kf, kp_plane=kp_plane,
+            dense=getattr(self, "_cur_dense", None),
         )
         self._pending.append(entry)
         cur_ok = True
@@ -502,7 +570,8 @@ class System:
         insertion (reference: tracking_module.cc:651-657 lost handling,
         keyframe_inserter.cc:54-114 decision). Returns False if the frame
         was lost."""
-        vals = np.asarray(entry.packed)
+        with self.timer.stage("decision_fetch"):
+            vals = np.asarray(entry.packed)
         num_tracked = int(vals[_PK_NUM_TRACKED])
         ref_tracked = int(vals[_PK_REF_TRACKED])
         n_close_trk = int(vals[_PK_CLOSE_TRK])
@@ -518,13 +587,14 @@ class System:
         # relocalize rather than inserting garbage keyframes.
         if num_tracked < 30:
             self._tracking_state = TrackerState.LOST
-            out = self.relocalizer.relocalize(
-                self._state, entry.feats, self.frontend.inv_sigma_sq,
-                self._split_key(),
-                obs_indicator=self._obs_indicator(),
-                num_levels=self.frontend.extractor.params.num_levels,
-                scale_factor=self.frontend.extractor.params.scale_factor,
-            )
+            with self.timer.stage("relocalize"):
+                out = self.relocalizer.relocalize(
+                    self._state, entry.feats, self.frontend.inv_sigma_sq,
+                    self._split_key(),
+                    obs_indicator=self._obs_indicator(),
+                    num_levels=self.frontend.extractor.params.num_levels,
+                    scale_factor=self.frontend.extractor.params.scale_factor,
+                )
             if out is None:
                 # Auto-reset when lost right after initialization — the
                 # young map is junk (reference: tracking_module.cc:506-513,
@@ -615,7 +685,10 @@ class System:
                 or (cond_a1 and num_tracked >= 15)
             ) and lm_headroom
             if need:
-                self._insert_keyframe(entry)
+                with self.timer.stage(
+                    "keyframe", sync_on=lambda: self._state.kf_pose
+                ):
+                    self._insert_keyframe(entry)
 
         self._frame_stats.append((ts, ref_kf_host, rel, False))
         return True
@@ -858,9 +931,10 @@ class System:
 
         # Local BA.
         if self.next_kf >= 3:
-            st, _ = mapper.local_ba(
-                self.camera, st, slot, self.frontend.inv_sigma_sq
-            )
+            with self.timer.stage("local_ba", sync_on=lambda: st.kf_pose):
+                st, _ = mapper.local_ba(
+                    self.camera, st, slot, self.frontend.inv_sigma_sq
+                )
             if self.with_lines:
                 from structure_plp_slam_tpu.models import line_ba, line_mapper
 
@@ -881,6 +955,9 @@ class System:
         # visibility gate).
         st = mapper.update_landmark_normals(st)
 
+        if entry.dense is not None:
+            self._dense_frames[slot] = entry.dense
+
         # Publish the new state. Everything above was pure dispatch.
         self._state = st
         self.next_lm = next_lm
@@ -896,7 +973,8 @@ class System:
         # Loop closing (reference: the keyframe flows to the
         # global-optimization thread's queue, mapping_module.cc:150).
         if self.enable_loop_closing and self.next_kf >= 8:
-            cand = self.loop_closer.detect(self._state, slot)
+            with self.timer.stage("loop_detect"):
+                cand = self.loop_closer.detect(self._state, slot)
             if cand is not None:
                 val = self.loop_closer.validate(
                     self._state, slot, cand, self._split_key()
@@ -1189,4 +1267,5 @@ class System:
             "loops_closed": self.loop_closer.num_loops_closed,
             "relocalizations": self.num_relocalizations,
             "tracking_state": self._tracking_state.value,
+            "timing": self.timer.summary(),
         }

@@ -84,3 +84,37 @@ def test_live_viewer_and_pause_protocol(rng):
     assert slam.terminate_is_requested()
     assert slam.feed_RGBD_frame(frames[5][0], frames[5][1], frames[5][2]) is None
     slam.shutdown()
+
+
+@pytest.mark.slow
+def test_dense_rgbd_cloud(rng):
+    """store_dense_cloud=True keeps strided per-keyframe RGB-D images and
+    backprojects them under current poses (reference: the pangolin
+    viewer's dense RGB-D cloud display, viewer.h:132-133)."""
+    from tests.test_system_e2e import _camera, _orb
+    from structure_plp_slam_tpu.camera import CameraSetup
+    from structure_plp_slam_tpu.config import Config
+    from structure_plp_slam_tpu.system import System
+    from tests import synthetic_scene
+
+    cam = _camera(CameraSetup.RGBD)
+    cfg = Config(camera=cam, orb=_orb(), raw={})
+    frames, _ = synthetic_scene.make_sequence(rng, cam, num_frames=8)
+    slam = System(cfg, max_keyframes=16, max_landmarks=4096,
+                  max_kf_interval=2, store_dense_cloud=True)
+    slam.startup()
+    for img, depth, ts in frames:
+        slam.feed_RGBD_frame(img, depth, ts)
+    slam.shutdown()
+    pts, gray = slam.get_map_publisher().get_dense_cloud()
+    assert len(pts) > 1000, f"dense cloud too small: {len(pts)}"
+    assert len(pts) == len(gray)
+    # The scene is the two z-planes; backprojected points must lie there.
+    z = pts[:, 2]
+    on_planes = (np.abs(z - 6.0) < 0.35) | (np.abs(z - 3.5) < 0.35)
+    assert on_planes.mean() > 0.9, f"dense cloud off-scene: {z.min()}..{z.max()}"
+    # And the HTML payload merges it.
+    from structure_plp_slam_tpu.publish import html_viewer
+
+    data = html_viewer.map_data(slam.get_map_publisher())
+    assert len(data["points"]) > 1000
