@@ -249,15 +249,84 @@ def solve(camera, cam_pose0, cam_valid, cam_fixed, lm_pos0, lm_valid,
 
 
 def run_global_ba(camera, state: ms.MapState, inv_sigma_sq_table,
-                  anchor_kf: int = 0, num_iters: int = 10):
-    """Host wrapper: prepare index lists + solve + write back."""
+                  anchor_kf: int = 0, num_iters: int = 10, mesh=None):
+    """Host wrapper: prepare index lists + solve + write back.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with axis 'lm'. With more
+    than one device the full-map solve runs LANDMARK-SHARDED over the
+    mesh (parallel/distributed_ba — each device owns a disjoint landmark
+    set + all their observations, one psum per iteration); single-device
+    falls back to the local pair-based solve."""
     data = prepare(state, np.asarray(inv_sigma_sq_table))
     if data.num_obs < 100:
         return state
     K = state.kf_pose.shape[0]
     cam_fixed = jnp.asarray(np.arange(K) == anchor_kf)
+    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+        return _run_global_ba_sharded(
+            camera, state, data, cam_fixed, mesh, num_iters
+        )
     cam_pose, lm_pos = solve(
         camera, state.kf_pose, state.kf_valid, cam_fixed,
         state.lm_pos, state.lm_valid, data, num_iters=num_iters,
     )
     return state._replace(kf_pose=cam_pose, lm_pos=lm_pos)
+
+
+def _run_global_ba_sharded(camera, state: ms.MapState, data: "GlobalBAData",
+                           cam_fixed, mesh, num_iters: int):
+    """Full-map BA over a device mesh: pack the prepared observation lists
+    into a BAProblem (padded to a power-of-two bucket so the executable
+    caches across loop closures), landmark-shard it, run the one-psum
+    distributed solve, and un-permute the block-cyclic landmark layout."""
+    from structure_plp_slam_tpu.models import bundle_adjustment as ba
+    from structure_plp_slam_tpu.parallel import distributed_ba as dba
+
+    n_shards = int(np.prod(mesh.devices.shape))
+    O = int(data.num_obs)
+    O_pad = 1 << max(10, (O - 1).bit_length())  # pow2 bucket, >= 1024
+
+    def pad(a, fill=0):
+        return np.concatenate(
+            [np.asarray(a)[:O],
+             np.full((O_pad - O,) + np.asarray(a).shape[1:], fill,
+                     np.asarray(a).dtype)]
+        )
+
+    prob = ba.BAProblem(
+        cam_pose=state.kf_pose,
+        cam_fixed=cam_fixed,
+        cam_valid=state.kf_valid,
+        lm_pos=state.lm_pos,
+        lm_valid=state.lm_valid,
+        obs_cam=jnp.asarray(pad(data.obs_cam)),
+        obs_lm=jnp.asarray(pad(data.obs_lm)),
+        obs_uv=jnp.asarray(pad(data.obs_uv)),
+        obs_xr=jnp.asarray(pad(data.obs_xr, fill=-1.0)),
+        obs_inv_sigma_sq=jnp.asarray(pad(data.obs_info)),
+        obs_valid=jnp.asarray(
+            np.arange(O_pad) < O
+        ),
+    )
+    sp = dba.shard_problem(prob, n_shards)
+    key = (id(mesh), camera, num_iters)
+    fn = _DIST_BA_CACHE.get(key)
+    if fn is None:
+        fn = dba.make_distributed_ba(mesh, camera, num_iters=num_iters)
+        _DIST_BA_CACHE[key] = fn
+    cam_pose, lm_flat = fn(sp)
+    # Undo the block-cyclic landmark permutation: global landmark m lives
+    # at shard (m % n) slot (m // n) -> flat index (m % n) * M_shard + m//n.
+    L = state.lm_pos.shape[0]
+    M_shard = lm_flat.shape[0] // n_shards
+    m = np.arange(L)
+    src = (m % n_shards) * M_shard + m // n_shards
+    lm_pos = jnp.asarray(np.asarray(lm_flat)[src])
+    cam_pose = jnp.where(
+        state.kf_valid[:, None, None], cam_pose, state.kf_pose
+    )
+    lm_pos = jnp.where(state.lm_valid[:, None], lm_pos, state.lm_pos)
+    return state._replace(kf_pose=cam_pose, lm_pos=lm_pos)
+
+
+_DIST_BA_CACHE: dict = {}

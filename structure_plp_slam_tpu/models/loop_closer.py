@@ -83,6 +83,10 @@ class LoopCloser:
         self.min_inliers = min_inliers
         self.min_gap = min_gap
         self._continuity: list = []
+        # Optional jax.sharding.Mesh: with >1 device the post-loop global
+        # BA runs landmark-sharded (parallel/distributed_ba via
+        # global_ba.run_global_ba's mesh path).
+        self.mesh = None
         self.last_loop_kf = -999
         self.loop_edges: List[Tuple[int, int, np.ndarray, np.ndarray, float]] = []
         self.num_loops_closed = 0
@@ -257,7 +261,7 @@ class LoopCloser:
         pose_before = state.kf_pose
         state = global_ba.run_global_ba(
             self.camera, state, np.asarray(inv_sigma_sq_table),
-            anchor_kf=kf_cand,
+            anchor_kf=kf_cand, mesh=self.mesh,
         )
         # Global BA moves poses and points directly; lines and planes ride
         # their reference keyframe's pose delta (the reference's loop-BA

@@ -235,6 +235,7 @@ class System:
         track_lag: int = 2,
         auto_grow: bool = True,
         verbose_timing: bool = False,
+        distributed_ba: bool = True,
         store_dense_cloud: bool = False,
         dense_cloud_stride: int = 8,
     ):
@@ -327,6 +328,16 @@ class System:
         # Loop closing + relocalization (share the retrieval index).
         self.enable_loop_closing = enable_loop_closing
         self.loop_closer = loop_mod.LoopCloser(config.camera, max_keyframes)
+        # With more than one accelerator, post-loop global BA runs
+        # landmark-sharded over all devices (one psum per iteration —
+        # parallel/distributed_ba; the reference has no distributed
+        # backend, SURVEY.md §2.14).
+        if distributed_ba and len(jax.devices()) > 1:
+            from jax.sharding import Mesh
+
+            self.loop_closer.mesh = Mesh(
+                np.array(jax.devices()), ("lm",)
+            )
         self.relocalizer = reloc_mod.Relocalizer(
             config.camera, self.loop_closer.bow
         )

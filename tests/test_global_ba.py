@@ -113,3 +113,35 @@ def test_global_ba_matches_windowed_solver(rng):
         np.asarray(res_w.cam_pose)[kf_valid],
         atol=5e-3,
     )
+
+
+def test_global_ba_sharded_matches_single_device(rng):
+    """run_global_ba with a device mesh (landmark-sharded distributed
+    solve, one psum per iteration) must converge to the same solution as
+    the single-device pair-based solve."""
+    import jax
+    from jax.sharding import Mesh
+
+    cam, state, poses_gt, pts = _make_state(rng)
+    table = np.ones(8, np.float32)
+    single = global_ba.run_global_ba(cam, state, table, anchor_kf=0)
+    mesh = Mesh(np.array(jax.devices()), ("lm",))
+    assert int(np.prod(mesh.devices.shape)) == 8
+    sharded = global_ba.run_global_ba(cam, state, table, anchor_kf=0,
+                                      mesh=mesh)
+    est_s = np.asarray(sharded.kf_pose)
+    est_1 = np.asarray(single.kf_pose)
+    K_valid = int(np.asarray(state.kf_valid).sum())
+    for c, (R, t) in enumerate(poses_gt):
+        dR = est_s[c, :, :3] @ R.T
+        ang = np.linalg.norm(
+            np.asarray(lie.so3_log(jnp.asarray(dR[None], jnp.float32)))
+        )
+        assert ang < 5e-3, f"kf {c} rot err {ang}"
+        assert np.linalg.norm(est_s[c, :, 3] - t) < 0.05
+    # Both optimizers land on (numerically) the same poses.
+    assert np.abs(est_s[:K_valid] - est_1[:K_valid]).max() < 5e-3
+    lm_s = np.asarray(sharded.lm_pos)
+    lm_1 = np.asarray(single.lm_pos)
+    M = len(pts)
+    assert np.abs(lm_s[:M] - lm_1[:M]).max() < 2e-2
