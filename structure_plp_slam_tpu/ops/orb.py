@@ -147,12 +147,8 @@ def ic_angles(img, xy, moments=None):
     return jnp.arctan2(m01_map[ys, xs], m10_map[ys, xs])
 
 
-def brief_descriptors(blurred, xy, angles):
-    """Rotated BRIEF: ``[K, 8] uint32`` descriptors.
-
-    Samples the blurred image at pattern points rotated by each keypoint's
-    orientation (reference: orb_extractor.cc compute_orb_descriptor :152).
-    """
+def _brief_sample_coords(xy, angles):
+    """Rotated BRIEF sample coordinates: two ``[K, 256]`` (x, y) pairs."""
     pat = jnp.asarray(_brief_pattern())  # [256, 4] int32
     x0, y0, x1, y1 = (pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3])
     c = jnp.cos(angles)[:, None]
@@ -165,21 +161,56 @@ def brief_descriptors(blurred, xy, angles):
 
     rx0, ry0 = rot(x0.astype(jnp.float32), y0.astype(jnp.float32))
     rx1, ry1 = rot(x1.astype(jnp.float32), y1.astype(jnp.float32))
-
-    H, W = blurred.shape
     xs = xy[:, 0].astype(jnp.int32)[:, None]
     ys = xy[:, 1].astype(jnp.int32)[:, None]
+    return (xs + rx0, ys + ry0), (xs + rx1, ys + ry1)
 
-    def sample(rx, ry):
-        yy = jnp.clip(ys + ry, 0, H - 1)
-        xx = jnp.clip(xs + rx, 0, W - 1)
-        return blurred[yy, xx]  # [K, 256]
 
-    bits = sample(rx0, ry0) < sample(rx1, ry1)  # [K, 256] bool
-    # Pack 256 bits -> 8 uint32 words.
+def _pack_bits(bits):
+    """``[K, 256]`` bool -> ``[K, 8]`` uint32."""
     bits32 = bits.reshape(bits.shape[0], 8, 32).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     return jnp.sum(bits32 * weights, axis=-1, dtype=jnp.uint32)
+
+
+def brief_descriptors(blurred, xy, angles):
+    """Rotated BRIEF: ``[K, 8] uint32`` descriptors.
+
+    Samples the blurred image at pattern points rotated by each keypoint's
+    orientation (reference: orb_extractor.cc compute_orb_descriptor :152).
+    """
+    H, W = blurred.shape
+    (x0, y0), (x1, y1) = _brief_sample_coords(xy, angles)
+
+    def sample(rx, ry):
+        yy = jnp.clip(ry, 0, H - 1)
+        xx = jnp.clip(rx, 0, W - 1)
+        return blurred[yy, xx]  # [K, 256]
+
+    return _pack_bits(sample(x0, y0) < sample(x1, y1))
+
+
+def brief_descriptors_pyramid(blur_flat, level_shapes, level_offsets,
+                              xy_list, angle_list):
+    """BRIEF for ALL pyramid levels with ONE gather pair.
+
+    ``blur_flat``: the blurred pyramid levels flattened and concatenated;
+    ``xy_list``/``angle_list``: per-level keypoint coords (level-local
+    pixels) and orientations. TPU gathers carry a fixed per-op cost, so
+    one [K_total, 512]-element gather beats 16 per-level gathers."""
+    coords_a, coords_b = [], []
+    for (H, W), off, xy, ang in zip(
+        level_shapes, level_offsets, xy_list, angle_list
+    ):
+        (x0, y0), (x1, y1) = _brief_sample_coords(xy, ang)
+        ia = jnp.clip(y0, 0, H - 1) * W + jnp.clip(x0, 0, W - 1) + off
+        ib = jnp.clip(y1, 0, H - 1) * W + jnp.clip(x1, 0, W - 1) + off
+        coords_a.append(ia)
+        coords_b.append(ib)
+    idx = jnp.concatenate(coords_a + coords_b, axis=0)  # [2*K_tot, 256]
+    vals = blur_flat[idx]
+    K_tot = idx.shape[0] // 2
+    return _pack_bits(vals[:K_tot] < vals[K_tot:])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -248,6 +279,8 @@ class OrbExtractor:
         p = self.params
         pyr = image_ops.build_pyramid(img, p.num_levels, p.scale_factor)
         outs = []
+        xy_list, angle_list, blur_list = [], [], []
+        offsets, off = [], 0
         for lv in range(p.num_levels):
             lvl_img = pyr[lv]
             score = fast_ops.fast_score_map(lvl_img, p.ini_fast_thr, p.min_fast_thr)
@@ -263,8 +296,11 @@ class OrbExtractor:
                 margin=EDGE_MARGIN,
             )
             angle = ic_angles(lvl_img, xy, moments=ic_moment_maps(lvl_img))
-            blurred = image_ops.gaussian_blur(lvl_img)
-            desc = brief_descriptors(blurred, xy, angle)
+            xy_list.append(xy)
+            angle_list.append(angle)
+            blur_list.append(image_ops.gaussian_blur(lvl_img).reshape(-1))
+            offsets.append(off)
+            off += H * W
             scale = jnp.float32(p.scale_factor**lv)
             outs.append(
                 dict(
@@ -272,11 +308,18 @@ class OrbExtractor:
                     response=resp,
                     level=jnp.full((budget,), lv, jnp.int32),
                     angle=angle,
-                    desc=desc,
                     valid=valid,
                 )
             )
-        return {
+        # BRIEF for all levels with one gather pair over the flattened
+        # blurred pyramid (TPU gather has a fixed per-op cost).
+        blur_flat = jnp.concatenate(blur_list)
+        desc_all = brief_descriptors_pyramid(
+            blur_flat, self.shapes, offsets, xy_list, angle_list
+        )
+        out = {
             k: jnp.concatenate([o[k] for o in outs], axis=0)
             for k in outs[0].keys()
         }
+        out["desc"] = desc_all
+        return out
