@@ -96,7 +96,7 @@ class Frontend:
         if key is None:
             key = jax.random.PRNGKey(0)
         gray = image_ops.to_grayscale(jnp.asarray(img))
-        seg, valid, _ = line_ops.detect_line_segments(
+        seg, valid, _ = line_ops.detect_line_segments_multiscale(
             gray, key, max_lines=self.max_lines
         )
         desc = line_ops.line_band_descriptors(gray, seg, valid)

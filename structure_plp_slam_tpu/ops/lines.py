@@ -370,3 +370,52 @@ def line_descriptor_distance_matrix(desc_a, desc_b, valid_a=None, valid_b=None):
     if valid_b is not None:
         d = jnp.where(valid_b[None, :], d, 10.0)
     return d
+
+
+@functools.partial(jax.jit, static_argnames=("max_lines", "min_length"))
+def detect_line_segments_multiscale(img, key, *, max_lines: int = 64,
+                                    min_length: float = 40.0):
+    """Two-scale detection (reference: the LSD runs a scale pyramid and
+    keeps octave-0 lines, line_extractor.cc:130-136; here the coarse
+    scale contributes the long/soft structures the fine scale fragments).
+
+    Three quarters of the budget comes from full resolution, one quarter
+    from a half-resolution pass whose segments map back to level-0 coords
+    and are deduplicated against the fine set in (angle, offset) space.
+    Returns (seg [max_lines, 4], valid, strength)."""
+    from structure_plp_slam_tpu.ops import image as image_ops
+
+    n_coarse = max(max_lines // 4, 4)
+    n_fine = max_lines - n_coarse
+    k1, k2 = jax.random.split(key)
+    seg_f, val_f, str_f = detect_line_segments(
+        img, k1, max_lines=n_fine, min_length=min_length
+    )
+    H, W = img.shape
+    half = image_ops.resize_bilinear(img, (H // 2, W // 2))
+    seg_c, val_c, str_c = detect_line_segments(
+        half, k2, max_lines=n_coarse, min_length=min_length * 0.5,
+        num_points=1024, num_hypotheses=1024,
+    )
+    seg_c = seg_c * 2.0  # back to level-0 pixels
+
+    def params(seg):
+        d = seg[:, 2:4] - seg[:, 0:2]
+        ln = jnp.maximum(jnp.linalg.norm(d, axis=1), 1e-6)
+        dirv = d / ln[:, None]
+        n = jnp.stack([-dirv[:, 1], dirv[:, 0]], 1)
+        rho = jnp.sum(n * seg[:, 0:2], axis=1)
+        return dirv, n, rho
+
+    df, nf, rf = params(seg_f)
+    dc, nc, rc = params(seg_c)
+    ndot = nc @ nf.T                                   # [C, F]
+    sgn = jnp.where(ndot >= 0, 1.0, -1.0)
+    rho_d = jnp.abs(rc[:, None] - sgn * rf[None, :])
+    dup = (jnp.abs(ndot) > 0.985) & (rho_d < 8.0) & val_f[None, :]
+    val_c = val_c & ~jnp.any(dup, axis=1)
+
+    seg = jnp.concatenate([seg_f, seg_c], axis=0)
+    valid = jnp.concatenate([val_f, val_c], axis=0)
+    strength = jnp.concatenate([str_f, str_c], axis=0)
+    return seg, valid, strength
