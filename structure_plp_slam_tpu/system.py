@@ -848,25 +848,28 @@ class System:
         slot = self.next_kf
         pose = jnp.concatenate([res.R, res.t[:, None]], 1)
         st = self._state
-        st, created = mapper.insert_keyframe(
-            self.camera, st, slot, pose, ts, feats, res.kp_lm, self.next_lm
-        )
+        with self.timer.stage("kf.insert", sync_on=lambda: st.kf_pose):
+            st, created = mapper.insert_keyframe(
+                self.camera, st, slot, pose, ts, feats, res.kp_lm, self.next_lm
+            )
         next_lm = self.next_lm + created
         self.next_kf += 1
         self.frames_since_kf = 0
 
         # Landmark culling for recent landmarks.
-        st, _ = mapper.cull_landmarks(st, slot)
+        with self.timer.stage("kf.cull_lm", sync_on=lambda: st.lm_valid):
+            st, _ = mapper.cull_landmarks(st, slot)
 
         # Two-view triangulation with top covisible neighbors — all setups:
         # depth-seeded maps still gain far points beyond the depth range
         # (reference: mapping_module create_new_landmarks runs for every
         # setup, mapping_module.cc:359-418). Neighbor selection happens
         # inside the jit.
-        st, n_tri = mapper.triangulate_with_neighbors(
-            self.camera, st, slot, next_lm,
-            num_neighbors=self.num_tri_neighbors,
-        )
+        with self.timer.stage("kf.triangulate", sync_on=lambda: st.lm_pos):
+            st, n_tri = mapper.triangulate_with_neighbors(
+                self.camera, st, slot, next_lm,
+                num_neighbors=self.num_tri_neighbors,
+            )
         next_lm = next_lm + n_tri
 
         # Line landmarks: register tracked associations, then create lines
@@ -910,35 +913,38 @@ class System:
             self.next_line = next_line
 
         # Fuse duplicates with the local map.
-        kf_mask = jnp.zeros((self.max_keyframes,), bool).at[slot].set(True)
-        lm_local = ms.local_landmark_mask(st, kf_mask)
-        st, _ = mapper.fuse_into_keyframe(self.camera, st, slot, lm_local)
+        with self.timer.stage("kf.fuse", sync_on=lambda: st.lm_pos):
+            kf_mask = jnp.zeros((self.max_keyframes,), bool).at[slot].set(True)
+            lm_local = ms.local_landmark_mask(st, kf_mask)
+            st, _ = mapper.fuse_into_keyframe(self.camera, st, slot, lm_local)
 
         # Plane landmarks from instance segmentation (reference:
         # Planar_Mapping_module::process_new_kf, mapping_module.cc:242-248).
         if entry.seg_mask is not None:
             from structure_plp_slam_tpu.models import planar_mapper
 
-            labels = planar_mapper.label_keypoints(
-                jnp.asarray(entry.seg_mask, jnp.int32),
-                feats["xy"],
-                feats["valid"],
-                check_3x3=self.planar.check_3x3_window,
-            )
-            scale = mapper.map_scale(st, slot)
-            st, n_pl = planar_mapper.detect_planes(
-                st, slot, labels, self.next_plane,
-                self._split_key(), scale,
-                max_instances=self.planar.max_instances,
-                coherent=self.use_graph_cut,
-                params=self.planar,
-            )
-            self.next_plane = self.next_plane + n_pl
-            st, _ = planar_mapper.merge_planes(st, scale, params=self.planar)
-            st = planar_mapper.refine_planes(st, scale, params=self.planar)
-            st = planar_mapper.snap_points_to_planes(
-                st, scale, params=self.planar
-            )
+            with self.timer.stage("kf.planes", sync_on=lambda: st.pl_coef):
+                labels = planar_mapper.label_keypoints(
+                    jnp.asarray(entry.seg_mask, jnp.int32),
+                    feats["xy"],
+                    feats["valid"],
+                    check_3x3=self.planar.check_3x3_window,
+                )
+                scale = mapper.map_scale(st, slot)
+                st, n_pl = planar_mapper.detect_planes(
+                    st, slot, labels, self.next_plane,
+                    self._split_key(), scale,
+                    max_instances=self.planar.max_instances,
+                    coherent=self.use_graph_cut,
+                    params=self.planar,
+                )
+                self.next_plane = self.next_plane + n_pl
+                st, _ = planar_mapper.merge_planes(st, scale,
+                                                   params=self.planar)
+                st = planar_mapper.refine_planes(st, scale, params=self.planar)
+                st = planar_mapper.snap_points_to_planes(
+                    st, scale, params=self.planar
+                )
 
         # Local BA.
         if self.next_kf >= 3:
@@ -959,12 +965,14 @@ class System:
         # MapState, so culled slots drop out of scoring via kf_valid with
         # no eviction bookkeeping.)
         if self.next_kf >= 5:
-            st, _ = mapper.cull_keyframes(st, slot)
+            with self.timer.stage("kf.cull_kf", sync_on=lambda: st.kf_valid):
+                st, _ = mapper.cull_keyframes(st, slot)
 
         # Refresh landmark mean viewing directions over current observers
         # (reference: landmark::update_normal_and_depth; feeds the 60-deg
         # visibility gate).
-        st = mapper.update_landmark_normals(st)
+        with self.timer.stage("kf.normals", sync_on=lambda: st.lm_normal):
+            st = mapper.update_landmark_normals(st)
 
         if entry.dense is not None:
             self._dense_frames[slot] = entry.dense
@@ -978,8 +986,9 @@ class System:
         self._invalidate_map_cache()
 
         # Stream the updated map to attached viewers; maybe checkpoint.
-        self._publish_map_packet()
-        self._maybe_autosave()
+        with self.timer.stage("kf.publish"):
+            self._publish_map_packet()
+            self._maybe_autosave()
 
         # Loop closing (reference: the keyframe flows to the
         # global-optimization thread's queue, mapping_module.cc:150).
