@@ -81,13 +81,18 @@ class Frontend:
         self._mono, self._rgbd, self._stereo = fns
 
     # ------------------------------------------------------------------
-    def _lines(self, img, out, key, depth_map=None):
+    def _lines(self, img, out, key, depth_map=None, img_right=None):
         """Attach line-segment features (reference: the ±line frame
         constructors, frame.h:87-164 line variants + LineFeatureTracker).
 
         With a depth map, endpoint depths are sampled slightly inside the
         segment (median of a few samples — segment edges sit on depth
-        discontinuities) for direct RGB-D line instantiation.
+        discontinuities) for direct RGB-D line instantiation. With a
+        rectified right image (stereo), endpoint depths come from a row
+        SAD disparity search at the same sample points
+        (ops/stereo.depth_at_points) — the stereo analog of the depth-map
+        sampling (reference stereo line drivers,
+        run_kitti_slam_with_line.cc:191-233).
         """
         import jax
 
@@ -103,7 +108,24 @@ class Frontend:
         out["seg"] = seg
         out["seg_desc"] = desc
         out["seg_valid"] = valid
-        if depth_map is not None:
+        if img_right is not None:
+            from structure_plp_slam_tpu.ops import stereo as stereo_ops
+
+            ML = seg.shape[0]
+            fracs = jnp.asarray([0.05, 0.1, 0.15, 0.85, 0.9, 0.95])
+            x = seg[None, :, 0] + fracs[:, None] * (seg[None, :, 2] - seg[None, :, 0])
+            y = seg[None, :, 1] + fracs[:, None] * (seg[None, :, 3] - seg[None, :, 1])
+            pts = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)  # [6*ML, 2]
+            grayR = image_ops.to_grayscale(jnp.asarray(img_right))
+            d, ok = stereo_ops.depth_at_points(
+                gray, grayR, pts,
+                focal_x_baseline=self.camera.focal_x_baseline,
+            )
+            d = jnp.where(ok, d, 0.0).reshape(6, ML)
+            d1 = jnp.median(d[:3], axis=0)
+            d2 = jnp.median(d[3:], axis=0)
+            out["seg_depth"] = jnp.stack([d1, d2], axis=1)
+        elif depth_map is not None:
             dm = jnp.asarray(depth_map).astype(jnp.float32) * (
                 1.0 / self.camera.depthmap_factor
             )
@@ -153,14 +175,20 @@ class Frontend:
             out = self._lines(img_gray, dict(out), key, depth_map=depth)
         return out
 
-    def stereo(self, img_left, img_right, mask=None):
+    def stereo(self, img_left, img_right, key=None, mask=None):
         """Rectified stereo pair: left features + disparity-derived depth
         (reference: frame.cc stereo ctor runs L/R ORB on two std::threads
         then match::stereo; here both extractions are independent jit
-        subgraphs XLA schedules concurrently)."""
-        return self._stereo(
+        subgraphs XLA schedules concurrently). With lines enabled, line
+        segments are detected on the left image and endpoint depths come
+        from a row disparity search (the stereo line frame ctor,
+        frame.h:87-164 / run_kitti_slam_with_line.cc:191-233)."""
+        out = self._stereo(
             jnp.asarray(img_left), jnp.asarray(img_right), self._eff_mask(mask)
         )
+        if self.with_lines:
+            out = self._lines(img_left, dict(out), key, img_right=img_right)
+        return out
 
     # ------------------------------------------------------------------
     def _pad(self, arr, fill=0):

@@ -71,6 +71,26 @@ def _match_landmark_pairs(camera, state: ms.MapState, kf1, kf2):
     return lm1, lm2, pts1, pts2, uv1, uv2, sig1, sig2, ok
 
 
+@jax.jit
+def _pack_detect_arrays(cov, scores, kf_valid):
+    """Scores + covisibility + validity in ONE [K, K+2] array so the
+    device->host fetch is a single RPC (each pytree leaf is a separate
+    ~20 ms round trip on a tunnel-attached TPU)."""
+    return jnp.concatenate([
+        cov.astype(jnp.float32),
+        scores[:, None],
+        kf_valid.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
+def _detect_packed(state: ms.MapState, kf, bow):
+    return _pack_detect_arrays(
+        ms.covisibility_matrix(state),
+        bow.scores_for_slot(state, kf),
+        state.kf_valid,
+    )
+
+
 class LoopCloser:
     def __init__(self, camera, max_keyframes: int = 0, *,
                  min_continuity: int = 3, min_inliers: int = 20,
@@ -92,25 +112,36 @@ class LoopCloser:
         self.num_loops_closed = 0
 
     # ------------------------------------------------------------------
-    def detect(self, state: ms.MapState, kf: int) -> Optional[int]:
-        """BoW candidate detection with min-score + continuity gating.
+    def detect_dispatch(self, state: ms.MapState, kf: int):
+        """Dispatch the loop-detection compute for keyframe ``kf`` and
+        start its device->host copy in the background. Returns the packed
+        device array (consume with :meth:`detect_consume`), or None when
+        inside the post-loop cool-down gap.
+
+        The reference's loop detector runs on its own thread
+        (global_optimization_module.cc), so detection for a keyframe never
+        blocks the feed; here the same latency tolerance lets the fetch
+        ride the async copy and be consumed at the NEXT keyframe."""
+        if kf - self.last_loop_kf < self.min_gap:
+            return None
+        packed = _detect_packed(state, kf, self.bow)
+        try:
+            packed.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        return packed
+
+    def detect_consume(self, packed, kf: int) -> Optional[int]:
+        """Host half of detection: min-score + continuity gating over the
+        packed [K, K+2] array fetched from :meth:`detect_dispatch`.
 
         Continuity follows the reference (loop_detector.cc:102-127): a
         candidate continues a previous round's "candidate cluster" when its
         covisibility SET intersects that cluster's set; a loop fires only
         after min_continuity consecutive continuations. One host fetch per
         call (scores + covisibility + validity together)."""
-        if kf - self.last_loop_kf < self.min_gap:
-            return None
-        # Pack scores + covisibility + validity into ONE [K, K+2] array so
-        # the fetch is a single device->host RPC (each pytree leaf is a
-        # separate ~20 ms round trip on a tunnel-attached TPU).
-        K = state.kf_valid.shape[0]
-        packed = np.asarray(jnp.concatenate([
-            ms.covisibility_matrix(state).astype(jnp.float32),
-            self.bow.scores_for_slot(state, kf)[:, None],
-            state.kf_valid.astype(jnp.float32)[:, None],
-        ], axis=1))
+        packed = np.asarray(packed)
+        K = packed.shape[0]
         W_full = packed[:, :K]
         sims = packed[:, K]
         kf_valid = packed[:, K + 1] > 0.5
@@ -144,6 +175,13 @@ class LoopCloser:
             return None
         # Best-scoring matured candidate.
         return int(max(matured, key=lambda c: sims[c]))
+
+    def detect(self, state: ms.MapState, kf: int) -> Optional[int]:
+        """Synchronous detection (dispatch + consume in one call)."""
+        packed = self.detect_dispatch(state, kf)
+        if packed is None:
+            return None
+        return self.detect_consume(packed, kf)
 
     # ------------------------------------------------------------------
     def validate(self, state: ms.MapState, kf_cur: int, kf_cand: int, key):

@@ -101,6 +101,40 @@ def pyramid_shapes(rows: int, cols: int, num_levels: int, scale_factor: float):
     return shapes
 
 
+ATLAS_GAP = 24  # inter-level padding: > IC-angle patch radius (15) + blur
+
+
+def atlas_layout(shapes, gap: int = ATLAS_GAP):
+    """Vertical pyramid-atlas layout: per-level row offsets + atlas shape.
+
+    All levels are stacked into ONE image (left-aligned, ``gap`` zero rows
+    between levels) so FAST scoring, NMS, IC moments and the BRIEF blur
+    run as one dense op each instead of one per level — the dominant cost
+    of the per-level pyramid was op-dispatch count, not pixels (round-3
+    profiling: 8 x ~150 small kernels/frame). The gap exceeds every
+    windowed-op radius used at keypoints (EDGE_MARGIN guarantees keypoints
+    stay >= 19 px inside their level, so no window ever crosses a level
+    boundary)."""
+    offsets = []
+    y = 0
+    W = 0
+    for (h, w) in shapes:
+        offsets.append(y)
+        y += h + gap
+        W = max(W, w)
+    return offsets, y - gap, W
+
+
+def build_atlas(img, shapes, offsets, atlas_h: int, atlas_w: int):
+    """Resize ``img`` to every pyramid level and paint the levels into the
+    vertical atlas (zero gaps between them)."""
+    atlas = jnp.zeros((atlas_h, atlas_w), img.dtype)
+    for lv, ((h, w), y0) in enumerate(zip(shapes, offsets)):
+        lvl = img if lv == 0 else resize_bilinear(img, (h, w))
+        atlas = jax.lax.dynamic_update_slice(atlas, lvl, (y0, 0))
+    return atlas
+
+
 def build_pyramid(img, num_levels: int, scale_factor: float):
     """f32 ``[H, W]`` -> list of f32 arrays, one per level (static shapes).
 

@@ -191,10 +191,13 @@ def brief_descriptors(blurred, xy, angles):
 
 
 def brief_descriptors_pyramid(blur_flat, level_shapes, level_offsets,
-                              xy_list, angle_list):
+                              xy_list, angle_list, row_stride=None):
     """BRIEF for ALL pyramid levels with ONE gather pair.
 
-    ``blur_flat``: the blurred pyramid levels flattened and concatenated;
+    ``blur_flat``: the blurred pyramid levels (or the pyramid ATLAS)
+    flattened; ``level_offsets``: flat index of each level's (0, 0) pixel;
+    ``row_stride``: row pitch when levels live in a common atlas (defaults
+    to each level's own width for the concatenated-levels layout).
     ``xy_list``/``angle_list``: per-level keypoint coords (level-local
     pixels) and orientations. TPU gathers carry a fixed per-op cost, so
     one [K_total, 512]-element gather beats 16 per-level gathers."""
@@ -202,9 +205,10 @@ def brief_descriptors_pyramid(blur_flat, level_shapes, level_offsets,
     for (H, W), off, xy, ang in zip(
         level_shapes, level_offsets, xy_list, angle_list
     ):
+        stride = row_stride if row_stride is not None else W
         (x0, y0), (x1, y1) = _brief_sample_coords(xy, ang)
-        ia = jnp.clip(y0, 0, H - 1) * W + jnp.clip(x0, 0, W - 1) + off
-        ib = jnp.clip(y1, 0, H - 1) * W + jnp.clip(x1, 0, W - 1) + off
+        ia = jnp.clip(y0, 0, H - 1) * stride + jnp.clip(x0, 0, W - 1) + off
+        ib = jnp.clip(y1, 0, H - 1) * stride + jnp.clip(x1, 0, W - 1) + off
         coords_a.append(ia)
         coords_b.append(ib)
     idx = jnp.concatenate(coords_a + coords_b, axis=0)  # [2*K_tot, 256]
@@ -276,17 +280,31 @@ class OrbExtractor:
         return self._extract(img_gray_f32)
 
     def _extract_impl(self, img):
+        """Atlas formulation: every dense stage (FAST score, NMS, IC
+        moments, BRIEF blur) runs ONCE over the vertical pyramid atlas
+        instead of once per level — ~8x fewer kernel launches for ~1.7x
+        more pixels, the winning trade on TPU where the per-level variant
+        was dispatch-bound (round-3 profiling). Keypoint selection stays
+        per level on static slices of the shared score map; EDGE_MARGIN
+        (19 px) keeps every window a keypoint reads strictly inside its
+        level, so results match the per-level pyramid exactly."""
         p = self.params
-        pyr = image_ops.build_pyramid(img, p.num_levels, p.scale_factor)
+        offs, Ha, Wa = image_ops.atlas_layout(self.shapes)
+        atlas = image_ops.build_atlas(img, self.shapes, offs, Ha, Wa)
+
+        score_a = fast_ops.nms3x3(
+            fast_ops.fast_score_map(atlas, p.ini_fast_thr, p.min_fast_thr)
+        )
+        m10_a, m01_a = ic_moment_maps(atlas)
+        blur_flat = image_ops.gaussian_blur(atlas).reshape(-1)
+
         outs = []
-        xy_list, angle_list, blur_list = [], [], []
-        offsets, off = [], 0
+        xy_list, angle_list = [], []
         for lv in range(p.num_levels):
-            lvl_img = pyr[lv]
-            score = fast_ops.fast_score_map(lvl_img, p.ini_fast_thr, p.min_fast_thr)
-            score = fast_ops.nms3x3(score)
-            budget = self.budgets[lv]
             H, W = self.shapes[lv]
+            y0 = offs[lv]
+            score = jax.lax.slice(score_a, (y0, 0), (y0 + H, W))
+            budget = self.budgets[lv]
             cell = 16 if min(H, W) >= 64 else 8
             xy, resp, valid = fast_ops.select_keypoints(
                 score,
@@ -295,12 +313,12 @@ class OrbExtractor:
                 max_total=budget,
                 margin=EDGE_MARGIN,
             )
-            angle = ic_angles(lvl_img, xy, moments=ic_moment_maps(lvl_img))
+            # IC angle from the shared atlas moment maps.
+            xs = jnp.clip(xy[:, 0].astype(jnp.int32), 0, W - 1)
+            ys = jnp.clip(xy[:, 1].astype(jnp.int32), 0, H - 1) + y0
+            angle = jnp.arctan2(m01_a[ys, xs], m10_a[ys, xs])
             xy_list.append(xy)
             angle_list.append(angle)
-            blur_list.append(image_ops.gaussian_blur(lvl_img).reshape(-1))
-            offsets.append(off)
-            off += H * W
             scale = jnp.float32(p.scale_factor**lv)
             outs.append(
                 dict(
@@ -312,10 +330,14 @@ class OrbExtractor:
                 )
             )
         # BRIEF for all levels with one gather pair over the flattened
-        # blurred pyramid (TPU gather has a fixed per-op cost).
-        blur_flat = jnp.concatenate(blur_list)
+        # blurred atlas (TPU gather has a fixed per-op cost).
         desc_all = brief_descriptors_pyramid(
-            blur_flat, self.shapes, offsets, xy_list, angle_list
+            blur_flat,
+            self.shapes,
+            [y0 * Wa for y0 in offs],
+            xy_list,
+            angle_list,
+            row_stride=Wa,
         )
         out = {
             k: jnp.concatenate([o[k] for o in outs], axis=0)

@@ -103,3 +103,69 @@ def match_stereo(
     depth = jnp.where(ok, focal_x_baseline / safe_disp, 0.0)
     x_right = jnp.where(ok, x_right, -1.0)
     return x_right, depth, ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("focal_x_baseline", "max_disp", "patch")
+)
+def depth_at_points(
+    img_left,
+    img_right,
+    pts_xy,
+    *,
+    focal_x_baseline: float,
+    max_disp: int = 96,
+    patch: int = 3,
+):
+    """Depth at arbitrary left-image points by exhaustive row SAD search on
+    the rectified pair (integer disparities 1..max_disp, 3-point parabola
+    sub-pixel refinement).
+
+    Serves the stereo LINE front-end: line endpoint depths come from the
+    stereo pair the way the RGB-D path samples its depth map
+    (models/frontend.py _lines). The reference runs stereo point+line SLAM
+    (example/run_kitti_slam_with_line.cc:191-233) with multi-view line
+    triangulation; direct endpoint depth additionally enables the
+    depth-seeded line instantiation path for stereo rigs.
+
+    ``pts_xy``: f32 [P, 2] left-image (x, y). Returns (depth [P], ok [P]).
+    """
+    H, W = img_left.shape
+    P = pts_xy.shape[0]
+    xs = pts_xy[:, 0].astype(jnp.int32)
+    ys = pts_xy[:, 1].astype(jnp.int32)
+    dy, dx = jnp.mgrid[-patch: patch + 1, -patch: patch + 1]
+    dy = dy.reshape(-1)
+    dx = dx.reshape(-1)
+
+    yy = jnp.clip(ys[:, None] + dy[None, :], 0, H - 1)          # [P, K]
+    xxl = jnp.clip(xs[:, None] + dx[None, :], 0, W - 1)
+    tmpl = img_left[yy, xxl]                                     # [P, K]
+
+    disps = jnp.arange(1, max_disp + 1, dtype=jnp.int32)         # [D]
+    xxr = jnp.clip(
+        xs[:, None, None] - disps[None, :, None] + dx[None, None, :], 0, W - 1
+    )                                                            # [P, D, K]
+    cand = img_right[yy[:, None, :], xxr]                        # [P, D, K]
+    sad = jnp.sum(jnp.abs(cand - tmpl[:, None, :]), axis=-1)     # [P, D]
+
+    k = jnp.argmin(sad, axis=1)
+    k_c = jnp.clip(k, 1, max_disp - 2)
+    s_m = jnp.take_along_axis(sad, (k_c - 1)[:, None], axis=1)[:, 0]
+    s_0 = jnp.take_along_axis(sad, k_c[:, None], axis=1)[:, 0]
+    s_p = jnp.take_along_axis(sad, (k_c + 1)[:, None], axis=1)[:, 0]
+    denom = jnp.maximum(s_m - 2.0 * s_0 + s_p, 1e-6)
+    delta = jnp.clip(0.5 * (s_m - s_p) / denom, -1.0, 1.0)
+    disparity = (k_c + 1).astype(jnp.float32) + delta
+
+    # Gates: disparity in range, match not clipped at the image border,
+    # SAD minimum distinct from the row average (texture present).
+    mean_sad = jnp.mean(sad, axis=1)
+    ok = (
+        (disparity > 0.5)
+        & (disparity < float(max_disp))
+        & (xs - disps[k_c] >= patch)
+        & (s_0 < 0.8 * jnp.maximum(mean_sad, 1e-6))
+    )
+    depth = jnp.where(ok, focal_x_baseline / jnp.maximum(disparity, 1e-6), 0.0)
+    return depth, ok

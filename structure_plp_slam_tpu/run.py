@@ -52,6 +52,11 @@ def _common(sub, need_dir: bool = True):
     sub.add_argument("--export-map-html", default=None, metavar="PATH",
                      help="write the standalone interactive HTML map viewer "
                           "after the run")
+    sub.add_argument("--log-level", default=None,
+                     choices=["debug", "info", "warning", "error"],
+                     help="framework log level (reference: spdlog level in "
+                          "the example drivers; default from "
+                          "PLPSLAM_LOG_LEVEL env, else warning)")
 
 
 def main(argv=None):
@@ -73,7 +78,9 @@ def main(argv=None):
     from structure_plp_slam_tpu.io import datasets
     from structure_plp_slam_tpu.system import System
     from structure_plp_slam_tpu.camera import CameraSetup
+    from structure_plp_slam_tpu.utils.logging import configure as configure_logging
 
+    configure_logging(args.log_level)
     cfg = load_config(args.config)
     if args.cmd in ("video", "camera"):
         return _run_stream(args, cfg)
@@ -174,7 +181,9 @@ def _run_stream(args, cfg):
         raise SystemExit("video/camera drivers require OpenCV (cv2)") from e
 
     from structure_plp_slam_tpu.system import System
+    from structure_plp_slam_tpu.utils.logging import configure as configure_logging
 
+    configure_logging(args.log_level)
     cap = cv2.VideoCapture(
         args.video if args.cmd == "video" else args.cam_index
     )

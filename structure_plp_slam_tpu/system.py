@@ -52,7 +52,10 @@ from structure_plp_slam_tpu.models import (
     tracker,
 )
 from structure_plp_slam_tpu.camera import CameraModel, CameraSetup
+from structure_plp_slam_tpu.utils.logging import get_logger
 from structure_plp_slam_tpu.utils.types import round_up
+
+_log = get_logger("system")
 
 
 class StageTimer:
@@ -199,6 +202,35 @@ def _track_step(camera, state, feats, carry: _TrackCarry, inv_sigma_sq,
     return state, res, carry2, packed, seg_lines, kp_plane
 
 
+@jax.jit
+def _rebase_pose(R, t, P_old, P_new):
+    """Transport a camera pose through a reference keyframe's correction:
+    the relative pose to the keyframe is preserved while the keyframe
+    moves from ``P_old`` to ``P_new`` (loop correction / global BA). All
+    inputs are world->cam."""
+    Ro, to = P_old[:, :3], P_old[:, 3]
+    Rn, tn = P_new[:, :3], P_new[:, 3]
+    R_rel = R @ Ro.T
+    t_rel = t - R_rel @ to
+    return R_rel @ Rn, R_rel @ tn + t_rel
+
+
+@jax.jit
+def _clear_failed_init(state):
+    """Undo a failed depth-init keyframe insertion in place: clear the
+    validity masks and the keyframe's association row. Everything else the
+    insert wrote is masked out by these bits, so no reallocation is needed
+    (reference simply discards the frame; the old path here rebuilt the
+    whole MapState — pathological at grown capacities)."""
+    return state._replace(
+        kf_valid=state.kf_valid.at[0].set(False),
+        kf_kp_valid=state.kf_kp_valid.at[0].set(False),
+        kf_lm_idx=state.kf_lm_idx.at[0].set(-1),
+        lm_valid=jnp.zeros_like(state.lm_valid),
+        lm_plane=jnp.full_like(state.lm_plane, -1),
+    )
+
+
 @dataclasses.dataclass
 class _PendingFrame:
     """A fed frame whose host-side decisions (lost check, keyframe
@@ -268,6 +300,9 @@ class System:
         # fires.
         self.track_lag = max(0, int(track_lag))
         self._pending: collections.deque = collections.deque()
+        # Deferred loop detection: (kf, packed device array) dispatched at
+        # a keyframe, consumed at the next one (or at drain points).
+        self._pending_loop = None
         # Conditions A1/A2 of the keyframe decision
         # (keyframe_inserter.cc:76-81): A1 forces a keyframe after
         # max_kf_interval frames (reference default: camera fps); A2 allows
@@ -345,6 +380,7 @@ class System:
         # Mono initialization buffer.
         self._init_feats = None
         self._init_ts = None
+        self._init_seg_mask = None
         self._seg_line_idx = None
         self._cur_seg_mask = None
         self._last_image = None
@@ -393,11 +429,61 @@ class System:
     def _drain_pending(self):
         while self._pending:
             self._consume(self._pending.popleft())
+        if getattr(self, "_pending_loop", None) is not None:
+            self._consume_pending_loop()
+
+    def _consume_pending_loop(self, res=None):
+        """Consume a deferred loop detection (dispatched at the previous
+        keyframe): gate on the fetched scores, validate the Sim3, correct
+        the map, and rebase the tracker's recurrent pose (and ``res``, the
+        about-to-be-inserted keyframe's track result, if given) through
+        the corrected keyframe's delta. Returns ``res`` (possibly rebased).
+        """
+        pend = self._pending_loop
+        self._pending_loop = None
+        if pend is None:
+            return res
+        kf_cur, packed = pend
+        if packed is None:
+            return res
+        with self.timer.stage("loop_detect"):
+            cand = self.loop_closer.detect_consume(packed, kf_cur)
+        if cand is None:
+            return res
+        val = self.loop_closer.validate(
+            self._state, kf_cur, cand, self._split_key()
+        )
+        if val is None:
+            return res
+        R21, t21, s21 = val
+        _log.info("loop closure: keyframe %d -> %d (s=%.3f)",
+                  kf_cur, cand, float(s21))
+        P_old = self._state.kf_pose[kf_cur]
+        with self.timer.stage("loop_correct"):
+            self._state = self.loop_closer.correct(
+                self._state, kf_cur, cand, R21, t21, s21,
+                self.frontend.inv_sigma_sq,
+            )
+        P_new = self._state.kf_pose[kf_cur]
+        # Tracking continues from the corrected geometry: transport the
+        # recurrent pose through the loop keyframe's correction. The
+        # motion model resets (a Sim3 correction can rescale translation).
+        Rp, tp = self.pose
+        self.pose = _rebase_pose(Rp, tp, P_old, P_new)
+        self.vel = (
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32)
+        )
+        if res is not None:
+            R2, t2 = _rebase_pose(res.R, res.t, P_old, P_new)
+            res = res._replace(R=R2, t=t2)
+        self._invalidate_map_cache()
+        return res
 
     def _grow(self, **kw):
         """Double selected map capacities in place (slot ids stable)."""
         from structure_plp_slam_tpu.data import map_database
 
+        _log.info("growing map capacities: %s", ", ".join(sorted(kw)))
         self._state = map_database.grow(self._state, **kw)
         self.max_keyframes = self._state.kf_pose.shape[0]
         self.max_landmarks = self._state.lm_pos.shape[0]
@@ -430,6 +516,7 @@ class System:
     def reset(self):
         # Pending decisions refer to the map being destroyed; drop them.
         self._pending.clear()
+        self._pending_loop = None
         self._dense_frames.clear()
         self._state = ms.create(
             self.max_keyframes, self.frontend.pad_to, self.max_landmarks
@@ -438,6 +525,7 @@ class System:
         self.next_kf = 0
         self.next_lm = 0
         self._init_feats = None
+        self._init_seg_mask = None
         self.last_kp_lm = jnp.full((self.frontend.pad_to,), -1, jnp.int32)
         self.ref_kf = 0
         self._ref_kf_dev = jnp.int32(0)
@@ -489,7 +577,10 @@ class System:
     def feed_stereo_frame(self, img_left, img_right, timestamp: float,
                           mask=None, seg_mask=None):
         with self.timer.stage("frontend", sync_on=lambda: feats["desc"]):
-            feats = self.frontend.stereo(img_left, img_right, mask=mask)
+            feats = self.frontend.stereo(
+                img_left, img_right,
+                self._split_key() if self.with_lines else None, mask=mask,
+            )
         self._cur_seg_mask = seg_mask
         self._last_image = np.asarray(img_left)
         return self._track(feats, timestamp)
@@ -598,6 +689,8 @@ class System:
         # relocalize rather than inserting garbage keyframes.
         if num_tracked < 30:
             self._tracking_state = TrackerState.LOST
+            _log.info("tracking lost at t=%.3f (%d inliers); relocalizing",
+                      ts, num_tracked)
             with self.timer.stage("relocalize"):
                 out = self.relocalizer.relocalize(
                     self._state, entry.feats, self.frontend.inv_sigma_sq,
@@ -616,12 +709,14 @@ class System:
                     and self.num_frames - self._init_frame_count
                     < 5.0 * self.camera.fps
                 ):
+                    _log.warning("lost on a young map; auto-reset")
                     self.reset()
                     return False
                 self._frame_stats.append((ts, ref_kf_host, rel, True))
                 return False
             R_r, t_r, kp_lm_r, ref = out
             self.num_relocalizations += 1
+            _log.info("relocalized against keyframe %d", int(ref))
             self.pose = (R_r, t_r)
             self.vel = (
                 jnp.eye(3, dtype=jnp.float32),
@@ -696,8 +791,12 @@ class System:
                 or (cond_a1 and num_tracked >= 15)
             ) and lm_headroom
             if need:
+                _log.info(
+                    "keyframe %d at t=%.3f (tracked=%d ref_tracked=%d)",
+                    self.next_kf, ts, num_tracked, ref_tracked,
+                )
                 with self.timer.stage(
-                    "keyframe", sync_on=lambda: self._state.kf_pose
+                    "keyframe", sync_on=lambda: self._state
                 ):
                     self._insert_keyframe(entry)
 
@@ -722,9 +821,11 @@ class System:
             )
             n = int(created)
             if n < 30:
-                self._state = ms.create(
-                    self.max_keyframes, self.frontend.pad_to, self.max_landmarks
-                )
+                # Clear only what the failed insert wrote (validity masks +
+                # the keyframe's association row) instead of reallocating
+                # the whole MapState — at grown capacities a rebuild moves
+                # hundreds of MB per failed init frame.
+                self._state = _clear_failed_init(self._state)
                 return False
             self.next_kf = 1
             self.next_lm = n
@@ -736,6 +837,10 @@ class System:
             self._tracking_state = TrackerState.TRACKING
             self.frames_since_kf = 0
             self._init_frame_count = self.num_frames
+            # Initial lines and planes on the first keyframe (reference:
+            # initializer.cc:322-333 initialize_map_with_plane; RGB-D line
+            # creation is depth-driven).
+            self._init_structures(0, self._cur_seg_mask, feats)
             self._invalidate_map_cache()
             return True
 
@@ -744,6 +849,7 @@ class System:
             if int(np.asarray(feats["valid"]).sum()) >= 100:
                 self._init_feats = feats
                 self._init_ts = ts
+                self._init_seg_mask = self._cur_seg_mask
             return False
 
         res = initializer.try_initialize_mono(
@@ -759,6 +865,7 @@ class System:
             ):
                 self._init_feats = feats
                 self._init_ts = ts
+                self._init_seg_mask = self._cur_seg_mask
             return False
 
         pts, t2, s = initializer.scale_to_median_depth(
@@ -829,10 +936,57 @@ class System:
         self._ref_kf_dev = jnp.int32(1)
         self._tracking_state = TrackerState.TRACKING
         self.frames_since_kf = 0
+        # Initial lines (from the fresh point map) and planes (from both
+        # init frames' seg masks) — reference: initializer.cc:299-302
+        # triangulate_line_with_two_keyframes + :322-333
+        # initialize_map_with_plane on BOTH init keyframes.
+        self._init_structures(0, self._init_seg_mask, f1)
+        self._init_structures(1, self._cur_seg_mask, feats)
         self._init_feats = None
+        self._init_seg_mask = None
         self._init_frame_count = self.num_frames
         self._invalidate_map_cache()
         return True
+
+    # ------------------------------------------------------------------
+    def _init_structures(self, slot: int, seg_mask, feats):
+        """Create initial line and plane landmarks on an init keyframe
+        (reference: initializer.cc:299-302 line triangulation between the
+        init keyframes; :322-333 plane initialization on both). Lines come
+        from the depth map (metric setups) and the just-created point map
+        (mono redesign, line_mapper.lines_from_points)."""
+        st = self._state
+        if self.with_lines and "seg" in feats:
+            from structure_plp_slam_tpu.models import line_mapper
+
+            next_line = self.next_line
+            if self.camera.setup is not CameraSetup.MONOCULAR:
+                st, n_d = line_mapper.lines_from_depth(
+                    self.camera, st, slot, next_line
+                )
+                next_line = next_line + n_d
+            st, n_p = line_mapper.lines_from_points(
+                self.camera, st, slot, next_line
+            )
+            self.next_line = next_line + n_p
+        if seg_mask is not None:
+            from structure_plp_slam_tpu.models import planar_mapper
+
+            labels = planar_mapper.label_keypoints(
+                jnp.asarray(seg_mask, jnp.int32),
+                feats["xy"],
+                feats["valid"],
+                check_3x3=self.planar.check_3x3_window,
+            )
+            scale = mapper.map_scale(st, slot)
+            st, n_pl = planar_mapper.detect_planes(
+                st, slot, labels, self.next_plane, self._split_key(), scale,
+                max_instances=self.planar.max_instances,
+                coherent=self.use_graph_cut,
+                params=self.planar,
+            )
+            self.next_plane = self.next_plane + n_pl
+        self._state = st
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, entry: _PendingFrame):
@@ -845,10 +999,17 @@ class System:
         state is mutated only at the very end to keep the chain re-entrant.
         """
         feats, ts, res = entry.feats, entry.ts, entry.res
+        # Consume the PREVIOUS keyframe's deferred loop detection first: a
+        # firing correction moves the whole map, so this new keyframe's
+        # tracked pose is rebased through its reference keyframe's delta
+        # before insertion (the reference's loop thread corrects between
+        # keyframe insertions the same way).
+        if self.enable_loop_closing:
+            res = self._consume_pending_loop(res)
         slot = self.next_kf
         pose = jnp.concatenate([res.R, res.t[:, None]], 1)
         st = self._state
-        with self.timer.stage("kf.insert", sync_on=lambda: st.kf_pose):
+        with self.timer.stage("kf.insert", sync_on=lambda: st):
             st, created = mapper.insert_keyframe(
                 self.camera, st, slot, pose, ts, feats, res.kp_lm, self.next_lm
             )
@@ -857,7 +1018,7 @@ class System:
         self.frames_since_kf = 0
 
         # Landmark culling for recent landmarks.
-        with self.timer.stage("kf.cull_lm", sync_on=lambda: st.lm_valid):
+        with self.timer.stage("kf.cull_lm", sync_on=lambda: st):
             st, _ = mapper.cull_landmarks(st, slot)
 
         # Two-view triangulation with top covisible neighbors — all setups:
@@ -865,7 +1026,7 @@ class System:
         # (reference: mapping_module create_new_landmarks runs for every
         # setup, mapping_module.cc:359-418). Neighbor selection happens
         # inside the jit.
-        with self.timer.stage("kf.triangulate", sync_on=lambda: st.lm_pos):
+        with self.timer.stage("kf.triangulate", sync_on=lambda: st):
             st, n_tri = mapper.triangulate_with_neighbors(
                 self.camera, st, slot, next_lm,
                 num_neighbors=self.num_tri_neighbors,
@@ -913,7 +1074,7 @@ class System:
             self.next_line = next_line
 
         # Fuse duplicates with the local map.
-        with self.timer.stage("kf.fuse", sync_on=lambda: st.lm_pos):
+        with self.timer.stage("kf.fuse", sync_on=lambda: st):
             kf_mask = jnp.zeros((self.max_keyframes,), bool).at[slot].set(True)
             lm_local = ms.local_landmark_mask(st, kf_mask)
             st, _ = mapper.fuse_into_keyframe(self.camera, st, slot, lm_local)
@@ -923,7 +1084,7 @@ class System:
         if entry.seg_mask is not None:
             from structure_plp_slam_tpu.models import planar_mapper
 
-            with self.timer.stage("kf.planes", sync_on=lambda: st.pl_coef):
+            with self.timer.stage("kf.planes", sync_on=lambda: st):
                 labels = planar_mapper.label_keypoints(
                     jnp.asarray(entry.seg_mask, jnp.int32),
                     feats["xy"],
@@ -948,7 +1109,7 @@ class System:
 
         # Local BA.
         if self.next_kf >= 3:
-            with self.timer.stage("local_ba", sync_on=lambda: st.kf_pose):
+            with self.timer.stage("local_ba", sync_on=lambda: st):
                 st, _ = mapper.local_ba(
                     self.camera, st, slot, self.frontend.inv_sigma_sq
                 )
@@ -965,13 +1126,13 @@ class System:
         # MapState, so culled slots drop out of scoring via kf_valid with
         # no eviction bookkeeping.)
         if self.next_kf >= 5:
-            with self.timer.stage("kf.cull_kf", sync_on=lambda: st.kf_valid):
+            with self.timer.stage("kf.cull_kf", sync_on=lambda: st):
                 st, _ = mapper.cull_keyframes(st, slot)
 
         # Refresh landmark mean viewing directions over current observers
         # (reference: landmark::update_normal_and_depth; feeds the 60-deg
         # visibility gate).
-        with self.timer.stage("kf.normals", sync_on=lambda: st.lm_normal):
+        with self.timer.stage("kf.normals", sync_on=lambda: st):
             st = mapper.update_landmark_normals(st)
 
         if entry.dense is not None:
@@ -986,33 +1147,24 @@ class System:
         self._invalidate_map_cache()
 
         # Stream the updated map to attached viewers; maybe checkpoint.
+        # (Separate stages so periodic checkpoint I/O spikes are not
+        # attributed to map publishing in the timing summary.)
         with self.timer.stage("kf.publish"):
             self._publish_map_packet()
+        with self.timer.stage("kf.autosave"):
             self._maybe_autosave()
 
         # Loop closing (reference: the keyframe flows to the
-        # global-optimization thread's queue, mapping_module.cc:150).
+        # global-optimization THREAD's queue, mapping_module.cc:150, so
+        # detection never blocks tracking). Same latency tolerance here:
+        # the detection compute + its [K, K+2] device->host copy are
+        # dispatched now and consumed at the NEXT keyframe (see
+        # _consume_pending_loop, called at the top of this method), so the
+        # feed path never waits on the fetch RPC.
         if self.enable_loop_closing and self.next_kf >= 8:
-            with self.timer.stage("loop_detect"):
-                cand = self.loop_closer.detect(self._state, slot)
-            if cand is not None:
-                val = self.loop_closer.validate(
-                    self._state, slot, cand, self._split_key()
-                )
-                if val is not None:
-                    R21, t21, s21 = val
-                    self._state = self.loop_closer.correct(
-                        self._state, slot, cand, R21, t21, s21,
-                        self.frontend.inv_sigma_sq,
-                    )
-                    # Tracking continues from the corrected keyframe pose.
-                    pose_c = self._state.kf_pose[slot]
-                    self.pose = (pose_c[:, :3], pose_c[:, 3])
-                    self.vel = (
-                        jnp.eye(3, dtype=jnp.float32),
-                        jnp.zeros((3,), jnp.float32),
-                    )
-                    self._invalidate_map_cache()
+            self._pending_loop = (
+                slot, self.loop_closer.detect_dispatch(self._state, slot)
+            )
 
     # ------------------------------------------------------------------
     def _obs_indicator(self):
