@@ -248,6 +248,233 @@ def solve(camera, cam_pose0, cam_valid, cam_fixed, lm_pos0, lm_valid,
     return cam_pose, lm_pos
 
 
+def prepare_chain_pairs(data: GlobalBAData, kf_valid: np.ndarray):
+    """Co-observation pairs between CONSECUTIVE valid keyframes — the
+    chain sub-block structure of the Schur complement, used by the PCG
+    path's block-tridiagonal preconditioner. Returns (chain_o1, chain_o2,
+    raw_of_comp) with chain pair (o1, o2) satisfying
+    comp(cam(o2)) == comp(cam(o1)) + 1."""
+    valid_ids = np.where(np.asarray(kf_valid))[0]
+    K = len(kf_valid)
+    comp_of_raw = np.full(K, -1, np.int64)
+    comp_of_raw[valid_ids] = np.arange(len(valid_ids))
+    raw_of_comp = np.full(K, -1, np.int64)
+    raw_of_comp[:len(valid_ids)] = valid_ids
+
+    c1 = comp_of_raw[np.asarray(data.obs_cam)[np.asarray(data.pair_o1)]]
+    c2 = comp_of_raw[np.asarray(data.obs_cam)[np.asarray(data.pair_o2)]]
+    sel = c2 == c1 + 1
+    return (
+        np.asarray(data.pair_o1)[sel],
+        np.asarray(data.pair_o2)[sel],
+        raw_of_comp,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "num_iters",
+                                             "cg_iters"))
+def solve_pcg(camera, cam_pose0, cam_valid, cam_fixed, lm_pos0, lm_valid,
+              data: GlobalBAData, chain_o1, chain_o2, raw_of_comp, *,
+              num_iters: int = 10, cg_iters: int = 40,
+              damping: float = 1e-4):
+    """Global BA with a MATRIX-FREE Schur solve: past K ~ 512 the explicit
+    [K, K, 6, 6] reduced camera system (and its 6K x 6K Cholesky) is the
+    structural scale ceiling (round-2 review, missing #3). Here the Schur
+    operator is applied per CG iteration directly from the observation
+    lists —
+
+        S x = Hcc x - sum_o U_o Hll^-1_{lm(o)} (sum_{o'~lm(o)} U_o'^T x_{c(o')})
+
+    — three O(O)-sized gathers/scatters, no pair list, no [K, K] block
+    matrix. Preconditioner: the exact block-tridiagonal CHAIN part of S
+    (consecutive-keyframe coupling blocks from ``chain_o1/o2``), solved by
+    block cyclic reduction in log2(K) levels (models/pose_graph.py)."""
+    from structure_plp_slam_tpu.models.pose_graph import (
+        _bcr_apply, _bcr_factor, _shift_right,
+    )
+
+    K = cam_pose0.shape[0]
+    L = lm_pos0.shape[0]
+    has_stereo = data.obs_xr >= 0.0
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+    comp_ok = raw_of_comp >= 0
+    comp_idx = jnp.clip(raw_of_comp, 0, K - 1)
+
+    def iteration(carry, _):
+        cam_pose, lm_pos = carry
+        R = cam_pose[data.obs_cam, :, :3]
+        t = cam_pose[data.obs_cam, :, 3]
+        X = lm_pos[data.obs_lm]
+        pc = jnp.einsum("oij,oj->oi", R, X) + t
+        uv, _ = cam_base.project(camera, pc)
+        r_uv = cam_base.uv_residual(camera, uv, data.obs_uv)
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        r_xr = (uv[..., 0] - camera.focal_x_baseline / z) - data.obs_xr
+        chi2 = jnp.sum(r_uv * r_uv, -1) * data.obs_info + jnp.where(
+            has_stereo, r_xr * r_xr * data.obs_info, 0.0
+        )
+        delta_sq = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
+        w = jnp.where(
+            cam_base.cheirality(camera, pc),
+            robust.huber_weight(chi2, delta_sq) * data.obs_info,
+            0.0,
+        )
+
+        iz = 1.0 / z
+        iz2 = iz * iz
+        fx, fxb = camera.fx, camera.focal_x_baseline
+        zero = jnp.zeros_like(z)
+        J_uv_pc = cam_base.project_jacobian(camera, pc)
+        J_xr_pc = jnp.stack([fx * iz, zero, -fx * pc[:, 0] * iz2 + fxb * iz2], -1)
+        dpc = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3)),
+                -lie.hat(pc),
+            ],
+            axis=-1,
+        )
+        Jc2 = J_uv_pc @ dpc
+        Jl2 = J_uv_pc @ R
+        Jc3 = (J_xr_pc[:, None, :] @ dpc)[:, 0]
+        Jl3 = (J_xr_pc[:, None, :] @ R)[:, 0]
+        w_st = jnp.where(has_stereo, w, 0.0)
+
+        Hcc_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jc2) + \
+            jnp.einsum("oi,oj->oij", Jc3 * w_st[:, None], Jc3)
+        Hll_o = jnp.einsum("ori,orj->oij", Jl2 * w[:, None, None], Jl2) + \
+            jnp.einsum("oi,oj->oij", Jl3 * w_st[:, None], Jl3)
+        U_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jl2) + \
+            jnp.einsum("oi,oj->oij", Jc3 * w_st[:, None], Jl3)  # [O, 6, 3]
+        bc_o = -(jnp.einsum("ori,or->oi", Jc2 * w[:, None, None], r_uv)
+                 + Jc3 * (w_st * r_xr)[:, None])
+        bl_o = -(jnp.einsum("ori,or->oi", Jl2 * w[:, None, None], r_uv)
+                 + Jl3 * (w_st * r_xr)[:, None])
+
+        Hcc = jnp.zeros((K, 6, 6), jnp.float32).at[data.obs_cam].add(Hcc_o)
+        bc = jnp.zeros((K, 6), jnp.float32).at[data.obs_cam].add(bc_o)
+        Hll = jnp.zeros((L, 3, 3), jnp.float32).at[data.obs_lm].add(Hll_o)
+        bl = jnp.zeros((L, 3), jnp.float32).at[data.obs_lm].add(bl_o)
+
+        lam_l = damping * jnp.maximum(
+            jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+        )
+        Hll_inv = jnp.linalg.inv(Hll + lam_l * jnp.eye(3)[None])
+
+        free = (~cam_fixed) & cam_valid
+        free_f = free.astype(jnp.float32)
+
+        # Damped camera diagonal.
+        diag_scale = damping * jnp.maximum(
+            jnp.trace(Hcc, axis1=-2, axis2=-1) / 6.0, 1e-6
+        )
+        Hcc_d = Hcc + diag_scale[:, None, None] * eye6[None]
+
+        # rhs = bc - sum_m W_m Hll_m^-1 bl_m (per observation).
+        rhs_o = jnp.einsum(
+            "oij,oj->oi", jnp.einsum("oij,ojk->oik", U_o, Hll_inv[data.obs_lm]),
+            bl[data.obs_lm],
+        )
+        rhs = bc - jnp.zeros((K, 6), jnp.float32).at[data.obs_cam].add(rhs_o)
+        rhs = rhs * free_f[:, None]
+
+        UHinv = jnp.einsum("oij,ojk->oik", U_o, Hll_inv[data.obs_lm])  # [O,6,3]
+
+        def matvec(x):
+            xf = x * free_f[:, None]
+            v = jnp.einsum("oij,oi->oj", U_o, xf[data.obs_cam])   # [O, 3]
+            g = jnp.zeros((L, 3), jnp.float32).at[data.obs_lm].add(v)
+            y_o = jnp.einsum("oik,ok->oi", UHinv, g[data.obs_lm])  # [O, 6]
+            y = jnp.einsum("kij,kj->ki", Hcc_d, xf)
+            y = y - jnp.zeros((K, 6), jnp.float32).at[data.obs_cam].add(y_o)
+            y = y * free_f[:, None]
+            return jnp.where(free[:, None], y, x)
+
+        # Block diagonal of S (self-pair terms) for the preconditioner.
+        selfS_o = jnp.einsum("oik,ojk->oij", UHinv, U_o)          # [O, 6, 6]
+        D = Hcc_d - jnp.zeros((K, 6, 6), jnp.float32).at[
+            data.obs_cam
+        ].add(selfS_o)
+        D = jnp.where(free[:, None, None], D, eye6[None])
+
+        # Chain off-diagonal blocks of S: -U1 Hinv U2^T over pairs of
+        # consecutive valid cameras, gated on both endpoints free.
+        # chain_o1/o2 rows of -1 are bucket padding (dropped).
+        chain_pair_ok = chain_o1 >= 0
+        o1s = jnp.clip(chain_o1, 0, U_o.shape[0] - 1)
+        o2s = jnp.clip(chain_o2, 0, U_o.shape[0] - 1)
+        f1 = free_f[data.obs_cam[o1s]]
+        f2 = free_f[data.obs_cam[o2s]]
+        S_chain = -jnp.einsum(
+            "pik,pjk->pij", UHinv[o1s], U_o[o2s]
+        ) * (f1 * f2 * chain_pair_ok)[:, None, None]
+        comp_of_cam = jnp.zeros((K + 1,), jnp.int32).at[
+            jnp.where(comp_ok, comp_idx, K)
+        ].set(jnp.where(comp_ok, jnp.arange(K, dtype=jnp.int32), 0),
+              mode="drop")
+        c_pos = jnp.where(
+            chain_pair_ok, comp_of_cam[jnp.clip(data.obs_cam[o1s], 0, K)], K
+        )
+        C_t = jnp.zeros((K, 6, 6), jnp.float32).at[c_pos].add(
+            S_chain, mode="drop"
+        )
+        B_t = D[comp_idx]
+        B_t = jnp.where(comp_ok[:, None, None], B_t, eye6[None])
+        A_t = _shift_right(jnp.swapaxes(C_t, -1, -2),
+                           jnp.zeros((6, 6), jnp.float32))
+        factor = _bcr_factor(B_t, A_t, C_t)
+
+        def precond(rv):
+            rc = rv[comp_idx] * comp_ok[:, None]
+            zc = _bcr_apply(factor, rc)
+            return jnp.zeros((K, 6), jnp.float32).at[
+                jnp.where(comp_ok, comp_idx, K)
+            ].set(jnp.where(comp_ok[:, None], zc, 0.0), mode="drop")
+
+        def cg_step(cg, _):
+            x, rv, zv, p, rz = cg
+            Hp = matvec(p)
+            pHp = jnp.sum(p * Hp)
+            a = rz / jnp.where(jnp.abs(pHp) < 1e-20, 1.0, pHp)
+            x = x + a * p
+            rv = rv - a * Hp
+            zv = precond(rv)
+            rz_new = jnp.sum(rv * zv)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1.0, rz)
+            p = zv + beta * p
+            return (x, rv, zv, p, rz_new), None
+
+        z0 = precond(rhs)
+        (dx_c, _, _, _, _), _ = jax.lax.scan(
+            cg_step,
+            (jnp.zeros_like(rhs), rhs, z0, z0, jnp.sum(rhs * z0)),
+            None, length=cg_iters,
+        )
+
+        # Back-substitute: dX_m = Hll_m^-1 (bl_m - sum_o U_o^T dx_{c(o)}).
+        Ut_dxc_o = jnp.einsum("oij,oi->oj", U_o, dx_c[data.obs_cam])  # [O, 3]
+        Ut_dxc = jnp.zeros((L, 3), jnp.float32).at[data.obs_lm].add(Ut_dxc_o)
+        dx_l = jnp.einsum("lij,lj->li", Hll_inv, bl - Ut_dxc)
+
+        ok = jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dx_l))
+        dx_c = jnp.where(ok, lie.clamp_tangent(dx_c, 0.3, 5.0), 0.0)
+        dx_l = jnp.where(ok, jnp.clip(dx_l, -5.0, 5.0), 0.0)
+
+        R_new, t_new = lie.se3_update(cam_pose[:, :, :3], cam_pose[:, :, 3], dx_c)
+        cam_new = jnp.where(free[:, None, None], lie.pack_pose(R_new, t_new), cam_pose)
+        lm_new = jnp.where(lm_valid[:, None], lm_pos + dx_l, lm_pos)
+        return (cam_new, lm_new), None
+
+    (cam_pose, lm_pos), _ = jax.lax.scan(
+        iteration, (cam_pose0, lm_pos0), None, length=num_iters
+    )
+    cam_pose = lie.pack_pose(
+        lie.orthonormalize(cam_pose[:, :, :3]), cam_pose[:, :, 3]
+    )
+    free_out = (~cam_fixed) & cam_valid
+    cam_pose = jnp.where(free_out[:, None, None], cam_pose, cam_pose0)
+    return cam_pose, lm_pos
+
+
 def run_global_ba(camera, state: ms.MapState, inv_sigma_sq_table,
                   anchor_kf: int = 0, num_iters: int = 10, mesh=None):
     """Host wrapper: prepare index lists + solve + write back.
@@ -266,10 +493,30 @@ def run_global_ba(camera, state: ms.MapState, inv_sigma_sq_table,
         return _run_global_ba_sharded(
             camera, state, data, cam_fixed, mesh, num_iters
         )
-    cam_pose, lm_pos = solve(
-        camera, state.kf_pose, state.kf_valid, cam_fixed,
-        state.lm_pos, state.lm_valid, data, num_iters=num_iters,
-    )
+    if K > 512 and (K & (K - 1)) == 0:
+        # Past K ~ 512 the explicit [K, K, 6, 6] Schur system is the
+        # structural ceiling: matrix-free PCG path (round-2 missing #3).
+        c1, c2, raw_of_comp = prepare_chain_pairs(
+            data, np.asarray(state.kf_valid)
+        )
+        # Pad chain pairs to a power-of-two bucket for executable reuse;
+        # -1 marks padding (gated inside solve_pcg).
+        P = len(c1)
+        P_pad = 1 << max(10, (P - 1).bit_length())
+        c1 = np.concatenate([c1, np.full(P_pad - P, -1, np.int64)])
+        c2 = np.concatenate([c2, np.full(P_pad - P, -1, np.int64)])
+        cam_pose, lm_pos = solve_pcg(
+            camera, state.kf_pose, state.kf_valid, cam_fixed,
+            state.lm_pos, state.lm_valid, data,
+            jnp.asarray(c1, jnp.int32), jnp.asarray(c2, jnp.int32),
+            jnp.asarray(raw_of_comp, jnp.int32),
+            num_iters=num_iters,
+        )
+    else:
+        cam_pose, lm_pos = solve(
+            camera, state.kf_pose, state.kf_valid, cam_fixed,
+            state.lm_pos, state.lm_valid, data, num_iters=num_iters,
+        )
     return state._replace(kf_pose=cam_pose, lm_pos=lm_pos)
 
 

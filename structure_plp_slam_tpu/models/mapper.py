@@ -289,6 +289,132 @@ def update_landmark_normals(state: ms.MapState):
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("scale_factor", "num_levels", "max_obs")
+)
+def refresh_landmark_stats(state: ms.MapState, *, scale_factor: float = 1.2,
+                           num_levels: int = 8, max_obs: int = 8):
+    """Refresh the per-landmark statistics that the reference maintains on
+    every observation change (data/landmark.h:99-110):
+
+    - mean viewing direction (``lm_normal``, landmark::update_normal_and_depth)
+    - ORB scale-invariance distance bounds (``lm_dist_min/max``) — the
+      reference derives them from the reference keyframe's observation;
+      here they refresh from the MEAN over current observers'
+      ``dist * scale_factor**level`` (smoother, batched);
+    - the representative descriptor (``lm_desc``,
+      landmark::compute_descriptor): the observation descriptor minimizing
+      the median Hamming distance to the other observations.
+
+    TPU form: one flat observation list from ``kf_lm_idx`` (K*N slots), a
+    single sort keyed by (landmark, pyramid level) that compacts each
+    landmark's finest ``max_obs`` observations into ``[L, max_obs]`` slots,
+    then a ``[L, M, M]`` SWAR popcount for the median-Hamming pick — no
+    per-landmark host loop.
+    """
+    from structure_plp_slam_tpu.ops import hamming
+
+    K, N = state.kf_lm_idx.shape
+    L = state.lm_pos.shape[0]
+    M = max_obs
+
+    # ---- normals: one indicator matmul (as before) --------------------
+    ind = ms.observation_indicator(state)  # [K, L]
+    R = state.kf_pose[:, :, :3]
+    t = state.kf_pose[:, :, 3]
+    C = -jnp.einsum("kji,kj->ki", R, t)  # [K, 3] camera centers
+    n_obs = jnp.sum(ind, axis=0)  # [L]
+    sum_C = jnp.einsum("kl,ki->li", ind, C)
+    dir_sum = n_obs[:, None] * state.lm_pos - sum_C
+    norm = jnp.linalg.norm(dir_sum, axis=-1, keepdims=True)
+    new_normal = dir_sum / jnp.maximum(norm, 1e-9)
+    keep = (n_obs > 0) & state.lm_valid
+
+    # ---- flat observation list ----------------------------------------
+    lm = state.kf_lm_idx.reshape(-1)  # [K*N]
+    obs_ok = (
+        (state.kf_lm_idx >= 0)
+        & state.kf_kp_valid
+        & state.kf_valid[:, None]
+    ).reshape(-1)
+    lvl = jnp.clip(state.kf_level.reshape(-1), 0, num_levels - 1)
+    lm_safe = jnp.where(obs_ok, lm, L)
+    obs_kf = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0).reshape(-1)
+
+    # Sort by (landmark, level): finest-level observations first within
+    # each landmark's segment; invalid slots (lm = L) sort last.
+    key = lm_safe * jnp.int32(num_levels) + lvl
+    order = jnp.argsort(key)
+    lm_s = lm_safe[order]
+    # Rank within each landmark segment (position among its observations).
+    O = lm_s.shape[0]
+    iota = jnp.arange(O, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.array([True]), lm_s[1:] != lm_s[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(change, iota, 0)
+    )
+    rank = iota - seg_start
+
+    take = rank < M
+    dst_lm = jnp.where(take & (lm_s < L), lm_s, L)
+    dst_rank = jnp.where(take, rank, 0)
+    flat_kf = obs_kf[order]
+    flat_kp = (jnp.arange(K * N, dtype=jnp.int32) % N)[order]
+    desc_o = state.kf_desc[flat_kf, flat_kp]      # [O, 8] u32
+    lvl_o = lvl[order].astype(jnp.float32)
+
+    slot_desc = jnp.zeros((L + 1, M, 8), jnp.uint32).at[
+        dst_lm, dst_rank
+    ].set(desc_o, mode="drop")[:L]
+    slot_ok = jnp.zeros((L + 1, M), bool).at[dst_lm, dst_rank].set(
+        take & (lm_s < L), mode="drop"
+    )[:L]
+
+    # ---- representative descriptor: median-Hamming argmin --------------
+    x = jnp.bitwise_xor(slot_desc[:, :, None, :], slot_desc[:, None, :, :])
+    d = jnp.sum(hamming.popcount_u32(x), axis=-1).astype(jnp.float32)
+    pair_ok = slot_ok[:, :, None] & slot_ok[:, None, :]
+    eye = jnp.eye(M, dtype=bool)[None]
+    d = jnp.where(pair_ok & ~eye, d, 1e9)          # mask self + invalid
+    d_sorted = jnp.sort(d, axis=-1)                # [L, M, M]
+    cnt = jnp.sum(slot_ok, axis=-1)                # [L] valid obs count
+    med_idx = jnp.clip((cnt - 2) // 2, 0, M - 1)   # median among cnt-1 dists
+    med = jnp.take_along_axis(
+        d_sorted, med_idx[:, None, None].astype(jnp.int32), axis=-1
+    )[..., 0]                                      # [L, M]
+    med = jnp.where(slot_ok, med, 1e12)
+    best_row = jnp.argmin(med, axis=-1)            # [L]
+    best_desc = jnp.take_along_axis(
+        slot_desc, best_row[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]                                        # [L, 8]
+    desc_keep = (cnt >= 2) & state.lm_valid
+    new_desc = jnp.where(desc_keep[:, None], best_desc, state.lm_desc)
+
+    # ---- scale-invariance bounds ---------------------------------------
+    dist_o = jnp.linalg.norm(
+        state.lm_pos[jnp.clip(lm_s, 0, L - 1)] - C[flat_kf], axis=-1
+    )
+    up_o = dist_o * jnp.float32(scale_factor) ** lvl_o
+    lm_all = jnp.where(lm_s < L, lm_s, L)
+    ok_all = (lm_s < L)
+    sum_up = jnp.zeros((L + 1,), jnp.float32).at[lm_all].add(
+        jnp.where(ok_all, up_o, 0.0), mode="drop"
+    )[:L]
+    cnt_all = jnp.zeros((L + 1,), jnp.float32).at[lm_all].add(
+        ok_all.astype(jnp.float32), mode="drop"
+    )[:L]
+    dist_max = sum_up / jnp.maximum(cnt_all, 1.0)
+    dist_min = dist_max / jnp.float32(scale_factor) ** (num_levels - 1)
+    bound_keep = (cnt_all > 0) & state.lm_valid
+
+    return state._replace(
+        lm_normal=jnp.where(keep[:, None], new_normal, state.lm_normal),
+        lm_desc=new_desc,
+        lm_dist_max=jnp.where(bound_keep, dist_max, state.lm_dist_max),
+        lm_dist_min=jnp.where(bound_keep, dist_min, state.lm_dist_min),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate landmark fusion.
 # ---------------------------------------------------------------------------

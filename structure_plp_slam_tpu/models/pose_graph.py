@@ -144,6 +144,228 @@ def optimize_pose_graph(prob: PoseGraphProblem, *, num_iters: int = 20,
     return R, t, s, chi2s[-1]
 
 
+# ---------------------------------------------------------------------------
+# Large-K path: matrix-free PCG with a block-tridiagonal (chain)
+# preconditioner solved by cyclic reduction.
+# ---------------------------------------------------------------------------
+
+
+def _shift_right(arr, fill):
+    return jnp.concatenate([fill[None], arr[:-1]], axis=0)
+
+
+def _shift_left(arr, fill):
+    return jnp.concatenate([arr[1:], fill[None]], axis=0)
+
+
+def _bcr_factor(B, A, C):
+    """Block-cyclic-reduction factorization of a block-tridiagonal matrix.
+
+    ``B`` [n, d, d] diagonal blocks, ``A`` [n, d, d] couples (i, i-1)
+    (A[0] ignored/zero), ``C`` [n, d, d] couples (i, i+1) (C[n-1]
+    ignored/zero). ``n`` must be a power of two. Returns an opaque level
+    stack for :func:`_bcr_apply`. log2(n) batched elimination levels — the
+    TPU-friendly alternative to a sequential block-Thomas sweep
+    (graph_optimizer.cc's CSparse Cholesky is the reference's CPU
+    equivalent). Factor once, apply to many right-hand sides (the PCG
+    preconditioner applies it every CG iteration)."""
+    d = B.shape[-1]
+    eyed = jnp.eye(d, dtype=B.dtype)
+    zerod = jnp.zeros((d, d), B.dtype)
+
+    levels = []
+    while B.shape[0] > 1:
+        B_e, B_o = B[0::2], B[1::2]
+        A_e, A_o = A[0::2], A[1::2]
+        C_e, C_o = C[0::2], C[1::2]
+
+        B_o_prev = _shift_right(B_o, eyed)
+        A_o_prev = _shift_right(A_o, zerod)
+        C_o_prev = _shift_right(C_o, zerod)
+
+        inv_B_o = jnp.linalg.inv(B_o)
+        inv_B_o_prev = _shift_right(inv_B_o, eyed)
+        alpha = A_e @ inv_B_o_prev          # couples even i to odd i-1
+        gamma = C_e @ inv_B_o               # couples even i to odd i+1
+        levels.append((alpha, gamma, inv_B_o, A_o, C_o))
+        B = B_e - alpha @ C_o_prev - gamma @ A_o
+        A = -alpha @ A_o_prev
+        C = -gamma @ C_o
+
+    return levels, jnp.linalg.inv(B[0])
+
+
+def _bcr_apply(factor, b):
+    """Solve T x = b given ``factor`` from :func:`_bcr_factor`."""
+    levels, inv_B_root = factor
+    zerov = jnp.zeros((b.shape[-1],), b.dtype)
+
+    rhs_stack = []
+    for alpha, gamma, _, _, _ in levels:
+        b_e, b_o = b[0::2], b[1::2]
+        b_o_prev = _shift_right(b_o, zerov)
+        rhs_stack.append(b_o)
+        b = (b_e - jnp.einsum("nij,nj->ni", alpha, b_o_prev)
+             - jnp.einsum("nij,nj->ni", gamma, b_o))
+
+    x = (inv_B_root @ b[0])[None]            # [1, d]
+    for (_, _, inv_B_o, A_o, C_o), b_o in zip(
+        reversed(levels), reversed(rhs_stack)
+    ):
+        x_e = x                              # [m, d] solutions at even idx
+        x_e_next = _shift_left(x_e, zerov)
+        rhs = (b_o - jnp.einsum("nij,nj->ni", A_o, x_e)
+               - jnp.einsum("nij,nj->ni", C_o, x_e_next))
+        x_o = jnp.einsum("nij,nj->ni", inv_B_o, rhs)
+        x = jnp.stack([x_e, x_o], axis=1).reshape(-1, x.shape[-1])
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "cg_iters"))
+def optimize_pose_graph_pcg(prob: PoseGraphProblem, raw_of_comp,
+                            edge_chain_pos, *, num_iters: int = 20,
+                            cg_iters: int = 30, damping: float = 1e-6):
+    """Pose-graph GN where each linear solve runs matrix-free PCG instead
+    of a dense [7K, 7K] Cholesky — HBM stays O(K + E) and the solve scales
+    to thousands of keyframes (the dense normal system is the K ~ 2048
+    structural ceiling the round-2 review flagged).
+
+    The preconditioner is the exact block-tridiagonal CHAIN part of the
+    Hessian (sequential keyframe edges dominate a video pose graph),
+    solved by cyclic reduction in log2(K) batched levels; loop/covisibility
+    edges enter through the CG operator. ``raw_of_comp`` [K] maps chain
+    position c -> keyframe slot (-1 past the valid count);
+    ``edge_chain_pos`` [E] is the edge's chain position (c for the edge
+    linking chain positions c and c+1) or -1 for non-chain edges.
+    """
+    K = prob.R.shape[0]
+    E = prob.edge_i.shape[0]
+    zeros7 = jnp.zeros((7,), prob.t.dtype)
+    eye7 = jnp.eye(7, dtype=jnp.float32)
+
+    res_and_jac = jax.vmap(
+        lambda Ri, ti, si, Rj, tj, sj, Rm, tm, sm: (
+            _edge_residual(Ri, ti, si, Rj, tj, sj, Rm, tm, sm, zeros7, zeros7),
+            jax.jacfwd(
+                lambda xi: _edge_residual(
+                    Ri, ti, si, Rj, tj, sj, Rm, tm, sm, xi, zeros7
+                )
+            )(zeros7),
+            jax.jacfwd(
+                lambda xj: _edge_residual(
+                    Ri, ti, si, Rj, tj, sj, Rm, tm, sm, zeros7, xj
+                )
+            )(zeros7),
+        )
+    )
+
+    free = prob.valid & ~prob.fixed
+    free_f = free.astype(jnp.float32)
+    comp_ok = raw_of_comp >= 0
+    comp_idx = jnp.clip(raw_of_comp, 0, K - 1)
+    chain_ok = edge_chain_pos >= 0
+    chain_pos = jnp.clip(edge_chain_pos, 0, K - 1)
+
+    def iteration(carry, _):
+        R, t, s = carry
+        Ri, ti, si = R[prob.edge_i], t[prob.edge_i], s[prob.edge_i]
+        Rj, tj, sj = R[prob.edge_j], t[prob.edge_j], s[prob.edge_j]
+        r, Ji, Jj = res_and_jac(
+            Ri, ti, si, Rj, tj, sj, prob.edge_R, prob.edge_t, prob.edge_s
+        )  # [E,7], [E,7,7], [E,7,7]
+        w = jnp.where(prob.edge_valid, prob.edge_weight, 0.0)
+        # Zero blocks touching fixed/invalid vertices (their rows/cols are
+        # identity in the projected system).
+        f_i = free_f[prob.edge_i]
+        f_j = free_f[prob.edge_j]
+        JiT_w = Ji * (w * f_i)[:, None, None]
+        JjT_w = Jj * (w * f_j)[:, None, None]
+        A_ii = jnp.einsum("eri,erj->eij", JiT_w, Ji * f_i[:, None, None])
+        A_jj = jnp.einsum("eri,erj->eij", JjT_w, Jj * f_j[:, None, None])
+        A_ij = jnp.einsum("eri,erj->eij", JiT_w, Jj * f_j[:, None, None])
+
+        b = jnp.zeros((K, 7), jnp.float32)
+        b = b.at[prob.edge_i].add(-jnp.einsum("eri,er->ei", JiT_w, r))
+        b = b.at[prob.edge_j].add(-jnp.einsum("eri,er->ei", JjT_w, r))
+        b = b * free_f[:, None]
+
+        # Block diagonal (for damping + the preconditioner's diagonal).
+        D = jnp.zeros((K, 7, 7), jnp.float32)
+        D = D.at[prob.edge_i].add(A_ii)
+        D = D.at[prob.edge_j].add(A_jj)
+        diag_tr = jnp.trace(D, axis1=-2, axis2=-1)
+        lam = damping * jnp.maximum(diag_tr / 7.0, 1e-6)
+        D = D + lam[:, None, None] * eye7[None]
+        D = jnp.where(free[:, None, None], D, eye7[None])
+
+        def matvec(x):
+            xf = x * free_f[:, None]
+            y = jnp.einsum("kij,kj->ki", D, xf)
+            xi = xf[prob.edge_i]
+            xj = xf[prob.edge_j]
+            y = y.at[prob.edge_i].add(jnp.einsum("eij,ej->ei", A_ij, xj))
+            y = y.at[prob.edge_j].add(
+                jnp.einsum("eji,ej->ei", A_ij, xi)
+            )
+            return jnp.where(free[:, None], y, x)
+
+        # Chain preconditioner in compacted (valid-order) space: diagonal
+        # = full block diagonal D, off-diagonals = the chain edges' A_ij.
+        B_t = D[comp_idx]
+        B_t = jnp.where(comp_ok[:, None, None], B_t, eye7[None])
+        C_t = jnp.zeros((K, 7, 7), jnp.float32).at[
+            jnp.where(chain_ok, chain_pos, K)
+        ].add(jnp.where(chain_ok[:, None, None], A_ij, 0.0), mode="drop")
+        A_t = _shift_right(jnp.swapaxes(C_t, -1, -2),
+                           jnp.zeros((7, 7), jnp.float32))
+
+        factor = _bcr_factor(B_t, A_t, C_t)
+
+        def precond(rv):
+            rc = rv[comp_idx] * comp_ok[:, None]
+            zc = _bcr_apply(factor, rc)
+            z = jnp.zeros((K, 7), jnp.float32).at[
+                jnp.where(comp_ok, comp_idx, K)
+            ].set(jnp.where(comp_ok[:, None], zc, 0.0), mode="drop")
+            return z
+
+        def cg_step(cg, _):
+            x, rv, z, p, rz = cg
+            Hp = matvec(p)
+            pHp = jnp.sum(p * Hp)
+            a = rz / jnp.where(jnp.abs(pHp) < 1e-20, 1.0, pHp)
+            x = x + a * p
+            rv = rv - a * Hp
+            z = precond(rv)
+            rz_new = jnp.sum(rv * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1.0, rz)
+            p = z + beta * p
+            return (x, rv, z, p, rz_new), None
+
+        z0 = precond(b)
+        (dxf, _, _, _, _), _ = jax.lax.scan(
+            cg_step,
+            (jnp.zeros_like(b), b, z0, z0, jnp.sum(b * z0)),
+            None, length=cg_iters,
+        )
+        dx = dxf
+        ok = jnp.all(jnp.isfinite(dx))
+        dx = jnp.where(ok, dx, 0.0)
+
+        dR, dt, ds = lie.sim3_exp(dx)
+        R2, t2, s2 = lie.sim3_compose(dR, dt, ds, R, t, s)
+        R2 = jnp.where(free[:, None, None], R2, R)
+        t2 = jnp.where(free[:, None], t2, t)
+        s2 = jnp.where(free, s2, s)
+        chi2 = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        return (R2, t2, s2), chi2
+
+    (R, t, s), chi2s = jax.lax.scan(
+        iteration, (prob.R, prob.t, prob.s), None, length=num_iters
+    )
+    return R, t, s, chi2s[-1]
+
+
 def correct_landmarks(lm_pos, lm_ref_kf, lm_valid, R_old, t_old, s_old,
                       R_new, t_new, s_new):
     """Move landmarks through their reference keyframe's Sim3 correction:

@@ -1129,11 +1129,16 @@ class System:
             with self.timer.stage("kf.cull_kf", sync_on=lambda: st):
                 st, _ = mapper.cull_keyframes(st, slot)
 
-        # Refresh landmark mean viewing directions over current observers
-        # (reference: landmark::update_normal_and_depth; feeds the 60-deg
-        # visibility gate).
+        # Refresh landmark statistics over current observers: mean viewing
+        # direction, ORB scale bounds, and the median-Hamming representative
+        # descriptor (reference: landmark::update_normal_and_depth +
+        # landmark::compute_descriptor, data/landmark.h:99-110).
         with self.timer.stage("kf.normals", sync_on=lambda: st):
-            st = mapper.update_landmark_normals(st)
+            st = mapper.refresh_landmark_stats(
+                st,
+                scale_factor=self.frontend.extractor.params.scale_factor,
+                num_levels=self.frontend.extractor.params.num_levels,
+            )
 
         if entry.dense is not None:
             self._dense_frames[slot] = entry.dense

@@ -115,6 +115,37 @@ def test_global_ba_matches_windowed_solver(rng):
     )
 
 
+def test_global_ba_pcg_matches_dense(rng):
+    """The matrix-free PCG Schur path (the large-K solver) must reach the
+    same solution as the explicit pair-based dense-Schur solve."""
+    cam, state, poses_gt, pts = _make_state(rng, K=6, M=120)
+    table = np.ones(8, np.float32)
+    data = global_ba.prepare(state, table)
+    K = 8
+    cam_fixed = jnp.asarray(np.arange(K) == 0)
+
+    pose_d, lm_d = global_ba.solve(
+        cam, state.kf_pose, state.kf_valid, cam_fixed,
+        state.lm_pos, state.lm_valid, data, num_iters=8,
+    )
+    c1, c2, raw_of_comp = global_ba.prepare_chain_pairs(
+        data, np.asarray(state.kf_valid)
+    )
+    pose_p, lm_p = global_ba.solve_pcg(
+        cam, state.kf_pose, state.kf_valid, cam_fixed,
+        state.lm_pos, state.lm_valid, data,
+        jnp.asarray(c1, jnp.int32), jnp.asarray(c2, jnp.int32),
+        jnp.asarray(raw_of_comp, jnp.int32), num_iters=8,
+    )
+    kf_valid = np.asarray(state.kf_valid)
+    np.testing.assert_allclose(
+        np.asarray(pose_p)[kf_valid], np.asarray(pose_d)[kf_valid],
+        atol=5e-3,
+    )
+    M = len(pts)
+    assert np.abs(np.asarray(lm_p)[:M] - np.asarray(lm_d)[:M]).max() < 2e-2
+
+
 def test_global_ba_sharded_matches_single_device(rng):
     """run_global_ba with a device mesh (landmark-sharded distributed
     solve, one psum per iteration) must converge to the same solution as

@@ -1,0 +1,108 @@
+"""Landmark statistics maintenance (reference: data/landmark.h:99-110 —
+compute_descriptor keeps the median-Hamming representative descriptor;
+update_normal_and_depth refreshes the ORB scale-invariance bounds)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from structure_plp_slam_tpu.data import map_state as ms
+from structure_plp_slam_tpu.models import mapper
+
+
+def _blank_feats(N):
+    return {
+        "xy": jnp.zeros((N, 2), jnp.float32),
+        "xr": jnp.full((N,), -1.0, jnp.float32),
+        "depth": jnp.full((N,), -1.0, jnp.float32),
+        "level": jnp.zeros((N,), jnp.int32),
+        "angle": jnp.zeros((N,), jnp.float32),
+        "desc": jnp.zeros((N, 8), jnp.uint32),
+        "bearing": jnp.zeros((N, 3), jnp.float32),
+        "valid": jnp.zeros((N,), bool),
+    }
+
+
+def _state_three_observers():
+    """Three keyframes on the -z axis all observing landmark 0 at origin.
+
+    Keyframe cameras at z = -1, -2, -4 (identity rotation), keypoint 0 of
+    each keyframe references landmark 0. Descriptors: kf0 and kf1 carry
+    NEAR-IDENTICAL descriptors (1 bit apart), kf2 an outlier (~128 bits
+    away from both). Levels: 0, 1, 2.
+    """
+    st = ms.create(max_keyframes=4, max_kps=16, max_landmarks=8)
+    descs = [
+        np.zeros(8, np.uint32),
+        np.zeros(8, np.uint32),
+        np.full(8, 0xFFFFFFFF, np.uint32),
+    ]
+    descs[1][0] = 1  # 1 bit from descs[0]
+    zs = [1.0, 2.0, 4.0]
+    for k in range(3):
+        feats = _blank_feats(16)
+        feats["valid"] = feats["valid"].at[0].set(True)
+        feats["level"] = feats["level"].at[0].set(k)
+        feats["desc"] = feats["desc"].at[0].set(jnp.asarray(descs[k]))
+        pose = jnp.concatenate(
+            [jnp.eye(3, dtype=jnp.float32),
+             jnp.array([[0.0], [0.0], [zs[k]]], jnp.float32)], axis=1
+        )  # world->cam: camera center at (0,0,-z)
+        lm_idx = jnp.full((16,), -1, jnp.int32).at[0].set(0)
+        st = ms.add_keyframe(st, k, pose, float(k), feats, lm_idx)
+    st = ms.add_landmarks(
+        st,
+        slots=jnp.array([0], jnp.int32),
+        pos=jnp.zeros((1, 3), jnp.float32),
+        desc=jnp.asarray(descs[2])[None],  # stale: created from the outlier
+        normal=jnp.array([[1.0, 0.0, 0.0]], jnp.float32),
+        dist_min=jnp.array([99.0], jnp.float32),
+        dist_max=jnp.array([99.0], jnp.float32),
+        ref_kf=jnp.array([0], jnp.int32),
+        valid=jnp.array([True]),
+    )
+    return st
+
+
+def test_representative_descriptor_median_hamming():
+    st = _state_three_observers()
+    out = mapper.refresh_landmark_stats(st, scale_factor=1.2, num_levels=8)
+    got = np.asarray(out.lm_desc[0])
+    # The two near-identical descriptors have median distance ~1/127 to
+    # the others; the outlier's median is ~128. The representative must be
+    # one of the near-identical pair, not the stale creation descriptor.
+    assert got[7] != 0xFFFFFFFF
+    assert got[0] in (0, 1) and np.all(got[1:] == 0)
+
+
+def test_scale_bounds_refresh_mean_rule():
+    st = _state_three_observers()
+    sf, nlev = 1.2, 8
+    out = mapper.refresh_landmark_stats(st, scale_factor=sf, num_levels=nlev)
+    # dist_k = z_k (camera centers at (0,0,-z), landmark at origin).
+    expect_max = np.mean([1.0 * sf**0, 2.0 * sf**1, 4.0 * sf**2])
+    assert np.isclose(float(out.lm_dist_max[0]), expect_max, rtol=1e-5)
+    assert np.isclose(
+        float(out.lm_dist_min[0]), expect_max / sf ** (nlev - 1), rtol=1e-5
+    )
+    # Normal: all cameras look down +z toward the landmark.
+    assert np.allclose(np.asarray(out.lm_normal[0]), [0, 0, 1], atol=1e-6)
+
+
+def test_unobserved_landmarks_untouched():
+    st = _state_three_observers()
+    # Add a second landmark with no observers.
+    st = ms.add_landmarks(
+        st,
+        slots=jnp.array([1], jnp.int32),
+        pos=jnp.ones((1, 3), jnp.float32),
+        desc=jnp.full((1, 8), 7, jnp.uint32),
+        normal=jnp.array([[0.0, 1.0, 0.0]], jnp.float32),
+        dist_min=jnp.array([0.5], jnp.float32),
+        dist_max=jnp.array([2.0], jnp.float32),
+        ref_kf=jnp.array([0], jnp.int32),
+        valid=jnp.array([True]),
+    )
+    out = mapper.refresh_landmark_stats(st)
+    assert np.all(np.asarray(out.lm_desc[1]) == 7)
+    assert float(out.lm_dist_min[1]) == 0.5
+    assert float(out.lm_dist_max[1]) == 2.0
