@@ -562,13 +562,14 @@ def _run_global_ba_sharded(camera, state: ms.MapState, data: "GlobalBAData",
         fn = dba.make_distributed_ba(mesh, camera, num_iters=num_iters)
         _DIST_BA_CACHE[key] = fn
     cam_pose, lm_flat = fn(sp)
-    # Undo the block-cyclic landmark permutation: global landmark m lives
-    # at shard (m % n) slot (m // n) -> flat index (m % n) * M_shard + m//n.
+    # Undo the block-cyclic landmark permutation ON DEVICE: global
+    # landmark m lives at shard (m % n) slot (m // n) -> flat index
+    # (m % n) * M_shard + m // n (round-2 weak #4: no host round trip).
     L = state.lm_pos.shape[0]
     M_shard = lm_flat.shape[0] // n_shards
-    m = np.arange(L)
+    m = jnp.arange(L)
     src = (m % n_shards) * M_shard + m // n_shards
-    lm_pos = jnp.asarray(np.asarray(lm_flat)[src])
+    lm_pos = lm_flat[src]
     cam_pose = jnp.where(
         state.kf_valid[:, None, None], cam_pose, state.kf_pose
     )

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from structure_plp_slam_tpu.camera import base as cam_base
 from structure_plp_slam_tpu.models.bundle_adjustment import BAProblem
 from structure_plp_slam_tpu.ops import lie, robust
 
@@ -190,31 +191,29 @@ def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
             t = cam_pose[obs_cam, :, 3]
             X = lm_pos[obs_lm]
             pc = jnp.einsum("oij,oj->oi", R, X) + t
+            # Camera-model dispatch — same static dispatch as the
+            # single-device solver (global_ba.solve / camera.base):
+            # fisheye/equirectangular maps get their true residuals and
+            # Jacobians on a mesh too (round-2 weak #4 fixed the
+            # hardcoded pinhole here).
+            uv, _ = cam_base.project(camera, pc)
+            r_uv = cam_base.uv_residual(camera, uv, obs_uv)
             z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
-            u = camera.fx * pc[:, 0] / z + camera.cx
-            v = camera.fy * pc[:, 1] / z + camera.cy
-            r_uv = jnp.stack([u, v], -1) - obs_uv
-            r_xr = (u - camera.focal_x_baseline / z) - obs_xr
+            r_xr = (uv[..., 0] - camera.focal_x_baseline / z) - obs_xr
             chi2 = jnp.sum(r_uv * r_uv, -1) * obs_info + jnp.where(
                 has_stereo, r_xr * r_xr * obs_info, 0.0
             )
             delta_sq = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
             w = jnp.where(
-                obs_live & (pc[:, 2] > 1e-6),
+                obs_live & cam_base.cheirality(camera, pc),
                 robust.huber_weight(chi2, delta_sq) * obs_info,
                 0.0,
             )
             iz = 1.0 / z
             iz2 = iz * iz
-            fx, fy, fxb = camera.fx, camera.fy, camera.focal_x_baseline
+            fx, fxb = camera.fx, camera.focal_x_baseline
             zero = jnp.zeros_like(z)
-            J_uv_pc = jnp.stack(
-                [
-                    jnp.stack([fx * iz, zero, -fx * pc[:, 0] * iz2], -1),
-                    jnp.stack([zero, fy * iz, -fy * pc[:, 1] * iz2], -1),
-                ],
-                axis=-2,
-            )
+            J_uv_pc = cam_base.project_jacobian(camera, pc)
             J_xr_pc = jnp.stack(
                 [fx * iz, zero, -fx * pc[:, 0] * iz2 + fxb * iz2], -1
             )
