@@ -56,6 +56,17 @@ def make_system(cam_cfg, enable_mapping=True):
 
 def main(breakdown: bool = False):
     import jax
+
+    # Persistent compilation cache: the first-ever run compiles every
+    # stage (minutes over a tunnel-attached chip with remote compile);
+    # later runs — including the driver's capture — reload executables
+    # from disk and go straight to the timed repetitions.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_compile_cache_plpslam_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from structure_plp_slam_tpu.camera import Camera, CameraModel, CameraSetup
@@ -94,7 +105,9 @@ def main(breakdown: bool = False):
     frames = []
     for i, (R, t) in enumerate(poses):
         img, depth = sc.render(cam, tex, R, t)
-        seg = np.where(depth < 4.5, 1, 2).astype(np.int32)
+        # uint8 instance ids: 4x less seg-mask wire traffic at keyframes
+        # (the device side converts; PlaneRecNet ids fit comfortably).
+        seg = np.where(depth < 4.5, 1, 2).astype(np.uint8)
         # Feed what a real sensor feeds: uint8 gray + uint16 depth (TUM
         # 5000-per-meter convention) — 0.6 MB/frame host->device instead
         # of 2.4 MB of f32; grayscale/depth conversion runs on device.
@@ -106,8 +119,21 @@ def main(breakdown: bool = False):
         slam = make_system(cfg)
         slam.startup()
         t0 = time.perf_counter()
-        for img, depth, seg, ts in frames:
-            slam.feed_RGBD_frame(img, depth, ts, seg_mask=seg)
+        # Double-buffered uploads: device_put the NEXT frame's buffers
+        # before processing the current one, so the 0.9 MB host->device
+        # copy rides the wire while the chip computes (a tunnel-attached
+        # chip pays ~7 ms per frame otherwise — measured to be the
+        # single largest per-frame cost). Frame 0's own upload stays
+        # inside the timed region.
+        nxt = (jax.device_put(frames[0][0]), jax.device_put(frames[0][1]))
+        for i, (img, depth, seg, ts) in enumerate(frames):
+            cur = nxt
+            if i + 1 < n_frames:
+                nxt = (
+                    jax.device_put(frames[i + 1][0]),
+                    jax.device_put(frames[i + 1][1]),
+                )
+            slam.feed_RGBD_frame(cur[0], cur[1], ts, seg_mask=seg)
         # Drain deferred decisions and wait for all queued device work:
         # the timed region covers EVERYTHING the sequence caused.
         np.asarray(slam.state.kf_pose)
@@ -117,14 +143,21 @@ def main(breakdown: bool = False):
     # ---- full system: warmup pass compiles every stage (incl. the
     # keyframe chain, local BA, plane fitting, loop detection), then
     # N_REPS timed repetitions on fresh systems (cached executables) ----
+    t_w = time.perf_counter()
+    print("bench: warmup (first compile of every stage)...",
+          file=sys.stderr, flush=True)
     slam, _ = run_once()
     warm_metrics = slam.metrics()
     slam.shutdown()
+    print(f"bench: warmup done in {time.perf_counter()-t_w:.0f}s",
+          file=sys.stderr, flush=True)
 
     rep_fps = []
     for _ in range(N_REPS):
         slam, fps = run_once()
         rep_fps.append(fps)
+        print(f"bench: rep {_ + 1}/{N_REPS}: {fps:.2f} f/s",
+              file=sys.stderr, flush=True)
         if _ < N_REPS - 1:
             slam.shutdown()
     full_fps = float(np.median(rep_fps))
@@ -143,8 +176,15 @@ def main(breakdown: bool = False):
         slam.feed_RGBD_frame(img, depth, ts)
     np.asarray(slam.state.kf_pose)
     t0 = time.perf_counter()
-    for img, depth, seg, ts in frames:
-        slam.feed_RGBD_frame(img, depth, ts)
+    nxt = (jax.device_put(frames[0][0]), jax.device_put(frames[0][1]))
+    for i, (img, depth, seg, ts) in enumerate(frames):
+        cur = nxt
+        if i + 1 < n_frames:
+            nxt = (
+                jax.device_put(frames[i + 1][0]),
+                jax.device_put(frames[i + 1][1]),
+            )
+        slam.feed_RGBD_frame(cur[0], cur[1], ts)
     np.asarray(slam.state.kf_pose)
     dt_track = time.perf_counter() - t0
     track_fps = n_frames / dt_track

@@ -174,14 +174,18 @@ def observation_indicator(state: MapState):
 
 
 @jax.jit
-def covisibility_matrix(state: MapState):
+def covisibility_matrix(state: MapState, ind=None):
     """``[K, K]`` i32 shared-landmark counts (diag = own landmark count).
 
     One bf16 matmul over the observation indicator — the TPU-native
     equivalent of graph_node::update_connections
-    (src/PLPSLAM/data/graph_node.cc:92).
+    (src/PLPSLAM/data/graph_node.cc:92). ``ind``: optionally a
+    precomputed indicator — building it is a ~5 ms TPU scatter, so the
+    keyframe chain computes it once and threads it through.
     """
-    ind = observation_indicator(state).astype(jnp.bfloat16)
+    ind = (observation_indicator(state) if ind is None else ind).astype(
+        jnp.bfloat16
+    )
     W = jax.lax.dot_general(
         ind, ind, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -190,15 +194,18 @@ def covisibility_matrix(state: MapState):
 
 
 @jax.jit
-def landmark_observation_counts(state: MapState):
+def landmark_observation_counts(state: MapState, ind=None):
     """``[L]`` i32 — number of keyframes observing each landmark."""
-    return jnp.sum(observation_indicator(state), axis=0).astype(jnp.int32)
+    if ind is None:
+        ind = observation_indicator(state)
+    return jnp.sum(ind, axis=0).astype(jnp.int32)
 
 
 @jax.jit
-def local_landmark_mask(state: MapState, kf_mask):
+def local_landmark_mask(state: MapState, kf_mask, ind=None):
     """Landmarks observed by any keyframe in ``kf_mask`` (``[K]`` bool)."""
-    ind = observation_indicator(state)
+    if ind is None:
+        ind = observation_indicator(state)
     return (jnp.einsum("k,kl->l", kf_mask.astype(jnp.float32), ind) > 0) & state.lm_valid
 
 
@@ -243,28 +250,68 @@ def add_keyframe(state: MapState, slot, pose, timestamp, feats, lm_idx):
 
 def add_landmarks(state: MapState, slots, pos, desc, normal, dist_min, dist_max,
                   ref_kf, valid):
-    """Scatter a batch of new landmarks into ``slots`` (``[M]`` i32).
+    """Write a batch of new landmarks into ``slots`` (``[M]`` i32).
 
-    Rows with ``valid=False`` write nothing (their slot index is redirected
-    to the scratch row L, then dropped).
+    Rows with ``valid=False`` write nothing. The VALID slots must be
+    CONTIGUOUS (``next_lm + running_index`` — how every creation site
+    allocates); that invariant turns ten per-array scatters into one
+    window slice/update per array. A TPU scatter costs ~5 ms EACH
+    regardless of size (round-3 profiling: the old ten-scatter form made
+    keyframe insertion a 38 ms stage); dynamic-slice + where + dynamic-
+    update-slice is bandwidth-priced.
     """
     L = state.lm_pos.shape[0]
-    safe = jnp.where(valid, slots, L)  # out-of-range scatter = dropped
+    M = slots.shape[0]
+    if M >= L:  # tiny (test) maps: the window would exceed the capacity
+        safe = jnp.where(valid, slots, L)
 
-    def scat(arr, vals):
-        return arr.at[safe].set(vals, mode="drop")
+        def scat(arr, vals):
+            return arr.at[safe].set(vals, mode="drop")
 
+        return state._replace(
+            lm_pos=scat(state.lm_pos, pos),
+            lm_valid=state.lm_valid.at[safe].set(valid, mode="drop"),
+            lm_desc=scat(state.lm_desc, desc),
+            lm_normal=scat(state.lm_normal, normal),
+            lm_dist_min=scat(state.lm_dist_min, dist_min),
+            lm_dist_max=scat(state.lm_dist_max, dist_max),
+            lm_ref_kf=scat(state.lm_ref_kf, ref_kf),
+            lm_n_vis=scat(state.lm_n_vis, jnp.ones_like(slots)),
+            lm_n_fnd=scat(state.lm_n_fnd, jnp.ones_like(slots)),
+            lm_plane=scat(state.lm_plane, jnp.full_like(slots, -1)),
+        )
+    count = jnp.sum(valid)
+    first = jnp.min(jnp.where(valid, slots, L))
+    start = jnp.clip(jnp.where(count > 0, first, 0), 0, max(L - M, 0))
+    off = jnp.where(count > 0, first - start, 0)
+    # Order sources by target slot; row i of the window takes source
+    # order[i - off] (valid slots are contiguous, so this aligns exactly).
+    order = jnp.argsort(jnp.where(valid, slots, jnp.int32(2**30)))
+    i = jnp.arange(M)
+    src = order[jnp.clip(i - off, 0, M - 1)]
+    taken = (i >= off) & (i < off + count)
+    taken = taken & jnp.take(valid, src) & (jnp.take(slots, src) < L)
+
+    def upd(arr, vals):
+        win = jax.lax.dynamic_slice_in_dim(arr, start, M, 0)
+        v = jnp.take(vals, src, axis=0)
+        mask = taken.reshape((M,) + (1,) * (arr.ndim - 1))
+        return jax.lax.dynamic_update_slice_in_dim(
+            arr, jnp.where(mask, v, win), start, 0
+        )
+
+    ones = jnp.ones_like(slots)
     return state._replace(
-        lm_pos=scat(state.lm_pos, pos),
-        lm_valid=state.lm_valid.at[safe].set(valid, mode="drop"),
-        lm_desc=scat(state.lm_desc, desc),
-        lm_normal=scat(state.lm_normal, normal),
-        lm_dist_min=scat(state.lm_dist_min, dist_min),
-        lm_dist_max=scat(state.lm_dist_max, dist_max),
-        lm_ref_kf=scat(state.lm_ref_kf, ref_kf),
-        lm_n_vis=scat(state.lm_n_vis, jnp.ones_like(slots)),
-        lm_n_fnd=scat(state.lm_n_fnd, jnp.ones_like(slots)),
-        lm_plane=scat(state.lm_plane, jnp.full_like(slots, -1)),
+        lm_pos=upd(state.lm_pos, pos),
+        lm_valid=upd(state.lm_valid, valid),
+        lm_desc=upd(state.lm_desc, desc),
+        lm_normal=upd(state.lm_normal, normal),
+        lm_dist_min=upd(state.lm_dist_min, dist_min),
+        lm_dist_max=upd(state.lm_dist_max, dist_max),
+        lm_ref_kf=upd(state.lm_ref_kf, ref_kf),
+        lm_n_vis=upd(state.lm_n_vis, ones),
+        lm_n_fnd=upd(state.lm_n_fnd, ones),
+        lm_plane=upd(state.lm_plane, jnp.full_like(slots, -1)),
     )
 
 

@@ -54,11 +54,35 @@ class BAProblem(NamedTuple):
     obs_valid: jax.Array     # [O] bool
 
 
+class LineWindow(NamedTuple):
+    """Line terms for the JOINT point+line window BA (reference:
+    local_bundle_adjuster_extended_line.cc:69- puts line reprojection
+    edges in the same g2o graph as the points; the corridor experiment in
+    tests/test_line_ba_joint_experiment.py measures ~8x pose-RMSE win
+    over point-only BA + line alternation when points are scarce).
+
+    Lines are 4-DoF orthonormal (U in SO(3), w on the circle —
+    optimize/g2o/line3d.h:57-140); observations are detected segments
+    whose endpoint-to-projected-line distances form 2-vectors of
+    residuals (reproj_edge_line3d_orthonormal.h:49-150)."""
+
+    ln_U: jax.Array        # [Ml, 3, 3]
+    ln_w: jax.Array        # [Ml, 2]
+    ln_valid: jax.Array    # [Ml] bool (>= 2 window observations)
+    lobs_cam: jax.Array    # [Ol] i32 local camera index
+    lobs_line: jax.Array   # [Ol] i32 local line index
+    lobs_seg: jax.Array    # [Ol, 4] detected segment endpoints
+    lobs_inv_sigma_sq: jax.Array  # [Ol]
+    lobs_valid: jax.Array  # [Ol] bool
+
+
 class BAResult(NamedTuple):
     cam_pose: jax.Array
     lm_pos: jax.Array
     obs_inlier: jax.Array    # [O] bool — post-solve chi2 classification
     chi2: jax.Array          # f32 — final total robust error
+    ln_U: jax.Array = None   # [Ml, 3, 3] — when solved with a LineWindow
+    ln_w: jax.Array = None   # [Ml, 2]
 
 
 def _project_residuals(camera, cam_pose, lm_pos, prob: BAProblem):
@@ -102,12 +126,32 @@ def inv3x3(H):
     return adj * inv_det[..., None, None]
 
 
+def inv4x4_sym(H):
+    """Batched symmetric 4x4 inverse via 3x3-block Schur partitioning —
+    closed-form VPU math (same rationale as :func:`inv3x3`)."""
+    A = H[..., :3, :3]
+    b = H[..., :3, 3]
+    c = H[..., 3, 3]
+    Ai = inv3x3(A)
+    Aib = jnp.einsum("...ij,...j->...i", Ai, b)
+    s = c - jnp.einsum("...i,...i->...", b, Aib)
+    s_inv = 1.0 / jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)
+    TL = Ai + s_inv[..., None, None] * jnp.einsum(
+        "...i,...j->...ij", Aib, Aib
+    )
+    TR = -s_inv[..., None] * Aib
+    top = jnp.concatenate([TL, TR[..., :, None]], axis=-1)
+    bot = jnp.concatenate([TR, s_inv[..., None]], axis=-1)
+    return jnp.concatenate([top, bot[..., None, :]], axis=-2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("camera", "num_iters", "cull_at_iters", "obs_grid")
 )
 def ba_solve(
     camera,
     prob: BAProblem,
+    lines: "LineWindow" = None,
     *,
     num_iters: int = 15,
     cull_at_iters: tuple = (5,),
@@ -191,8 +235,42 @@ def ba_solve(
             )  # [M, C, 6, 3]
             return Hcc, Hll, bc, bl, W
 
+    if lines is not None:
+        from structure_plp_slam_tpu.ops import line_geometry as lg
+
+        Ml = lines.ln_U.shape[0]
+        Ol = lines.lobs_cam.shape[0]
+        l_oh_cam = (
+            lines.lobs_cam[:, None] == jnp.arange(C, dtype=lines.lobs_cam.dtype)
+        ).astype(jnp.float32)  # [Ol, C]
+        l_oh_ln = (
+            lines.lobs_line[:, None]
+            == jnp.arange(Ml, dtype=lines.lobs_line.dtype)
+        ).astype(jnp.float32)  # [Ol, Ml]
+        zero6 = jnp.zeros((6,), jnp.float32)
+        zero4 = jnp.zeros((4,), jnp.float32)
+
+        def _line_res(U, w, R, t, seg, xi, dl):
+            R2, t2 = lie.se3_update(R, t, xi)
+            U2, w2 = lg.orthonormal_update(U, w, dl)
+            pl = lg.orthonormal_to_plucker(U2, w2)
+            pl_c = lg.transform_line(pl, R2, t2)
+            l_img = lg.project_line(camera, pl_c)
+            return lg.endpoint_line_distances(l_img, seg[0:2], seg[2:4])
+
+        def _line_res_jac(U, w, R, t, seg):
+            f_c = lambda xi: _line_res(U, w, R, t, seg, xi, zero4)
+            f_l = lambda dl: _line_res(U, w, R, t, seg, zero6, dl)
+            return (
+                f_c(zero6),
+                jax.jacfwd(f_c)(zero6),
+                jax.jacfwd(f_l)(zero4),
+            )
+
+        _line_rj = jax.vmap(_line_res_jac)
+
     def iteration(carry, it):
-        cam_pose, lm_pos, obs_live = carry
+        cam_pose, lm_pos, obs_live, ln_U, ln_w, lobs_live = carry
         pc, r_uv, r_xr = _project_residuals(camera, cam_pose, lm_pos, prob)
         chi2 = _obs_chi2(prob, r_uv, r_xr, has_stereo)
         delta_sq = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
@@ -251,6 +329,42 @@ def ba_solve(
 
         Hcc, Hll, bc, bl, W = assemble(Hcc_o, Hll_o, Hcl_o, bc_o, bl_o)
 
+        # --- line terms (joint point+line window BA) --------------------
+        if lines is not None:
+            U_o2 = ln_U[lines.lobs_line]
+            w_o2 = ln_w[lines.lobs_line]
+            R_l = cam_pose[lines.lobs_cam, :, :3]
+            t_l = cam_pose[lines.lobs_cam, :, 3]
+            r_l, Jc_l, Jl_l = _line_rj(
+                U_o2, w_o2, R_l, t_l, lines.lobs_seg
+            )  # [Ol,2], [Ol,2,6], [Ol,2,4]
+            chi2_l = jnp.sum(r_l * r_l, -1) * lines.lobs_inv_sigma_sq
+            w_lo = jnp.where(
+                lobs_live,
+                robust.huber_weight(chi2_l, robust.CHI2_2D)
+                * lines.lobs_inv_sigma_sq,
+                0.0,
+            )
+            Jc_lw = Jc_l * w_lo[:, None, None]
+            Hcc_lo = jnp.einsum("ori,orj->oij", Jc_lw, Jc_l)
+            Hll_lo = jnp.einsum(
+                "ori,orj->oij", Jl_l * w_lo[:, None, None], Jl_l
+            )
+            Hcl_lo = jnp.einsum("ori,orj->oij", Jc_lw, Jl_l)  # [Ol, 6, 4]
+            bc_lo = -jnp.einsum("ori,or->oi", Jc_lw, r_l)
+            bl_lo = -jnp.einsum(
+                "ori,or->oi", Jl_l * w_lo[:, None, None], r_l
+            )
+            Hcc = Hcc + jnp.einsum("oc,oij->cij", l_oh_cam, Hcc_lo)
+            bc = bc + jnp.einsum("oc,oi->ci", l_oh_cam, bc_lo)
+            Hln = jnp.einsum("om,oij->mij", l_oh_ln, Hll_lo)   # [Ml, 4, 4]
+            bln = jnp.einsum("om,oi->mi", l_oh_ln, bl_lo)      # [Ml, 4]
+            Wl = jnp.einsum(
+                "om,ocij->mcij",
+                l_oh_ln,
+                jnp.einsum("oc,oij->ocij", l_oh_cam, Hcl_lo),
+            )  # [Ml, C, 6, 4]
+
         # --- Schur elimination -----------------------------------------
         lam_l = damping * jnp.maximum(
             jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
@@ -267,6 +381,19 @@ def ba_solve(
         eye_cc = jnp.eye(C, dtype=jnp.float32)[:, :, None, None]  # [C,C,1,1]
         S = -S_red + eye_cc * Hcc[:, None]
         rhs = bc - jnp.einsum("mcik,mk->ci", WHinv, bl)           # [C, 6]
+
+        if lines is not None:
+            # Eliminate 4-DoF line blocks exactly like the point blocks.
+            lam_ln = damping * jnp.maximum(
+                jnp.trace(Hln, axis1=-2, axis2=-1)[:, None, None] / 4.0,
+                1e-6,
+            )
+            Hln_inv = inv4x4_sym(
+                Hln + (lam_ln + 1e-8) * jnp.eye(4, dtype=jnp.float32)[None]
+            )
+            WlHinv = jnp.einsum("mcij,mjk->mcik", Wl, Hln_inv)  # [Ml,C,6,4]
+            S = S - jnp.einsum("mcik,mdjk->cdij", WlHinv, Wl)
+            rhs = rhs - jnp.einsum("mcik,mk->ci", WlHinv, bln)
 
         # Fix cameras: identity rows/cols (gauge + fixed window borders).
         free = (~prob.cam_fixed) & prob.cam_valid
@@ -308,24 +435,97 @@ def ba_solve(
             prob.lm_valid[:, None], lm_pos + dx_l, lm_pos
         )
 
+        if lines is not None:
+            # Back-substitute lines: dl = Hln^-1 (bln - Wl^T dx_c).
+            Wlt_dxc = jnp.einsum("mcij,ci->mj", Wl, dx_c)        # [Ml, 4]
+            dx_ln = jnp.einsum("mij,mj->mi", Hln_inv, bln - Wlt_dxc)
+            # A line moves only while >= 2 LIVE observations constrain
+            # its 4 DoF (pre-gated + culled observations drop out; a
+            # lone surviving observation must not drag the line).
+            ln_cnt = jnp.zeros((Ml + 1,), jnp.int32).at[
+                jnp.where(lobs_live, lines.lobs_line, Ml)
+            ].add(1, mode="drop")[:Ml]
+            ok_ln = (
+                lines.ln_valid
+                & (ln_cnt >= 2)
+                & jnp.all(jnp.isfinite(dx_ln), axis=-1)
+                & ok
+            )
+            dx_ln = jnp.where(
+                ok_ln[:, None], jnp.clip(dx_ln, -0.3, 0.3), 0.0
+            )
+            ln_U_new, ln_w_new = lg.orthonormal_update(ln_U, ln_w, dx_ln)
+        else:
+            ln_U_new, ln_w_new = ln_U, ln_w
+
         # Outlier culling at designated iterations.
-        def cull(obs_live):
+        def cull(live):
+            obs_live2, lobs_live2 = live
             _, r_uv2, r_xr2 = _project_residuals(
                 camera, cam_pose_new, lm_pos_new, prob
             )
             chi2n = _obs_chi2(prob, r_uv2, r_xr2, has_stereo)
             thr = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
-            return obs_live & (chi2n <= thr)
+            obs_live2 = obs_live2 & (chi2n <= thr)
+            if lines is not None:
+                r_l2, _, _ = _line_rj(
+                    ln_U_new[lines.lobs_line], ln_w_new[lines.lobs_line],
+                    cam_pose_new[lines.lobs_cam, :, :3],
+                    cam_pose_new[lines.lobs_cam, :, 3],
+                    lines.lobs_seg,
+                )
+                chi2_l2 = jnp.sum(r_l2 * r_l2, -1) * lines.lobs_inv_sigma_sq
+                lobs_live2 = lobs_live2 & (chi2_l2 <= robust.CHI2_2D)
+            return obs_live2, lobs_live2
 
         do_cull = jnp.zeros((), bool)
         for ci in cull_at_iters:
             do_cull = do_cull | (it == ci)
-        obs_live = jax.lax.cond(do_cull, cull, lambda m: m, obs_live)
-        return (cam_pose_new, lm_pos_new, obs_live), None
+        obs_live, lobs_live = jax.lax.cond(
+            do_cull, cull, lambda m: m, (obs_live, lobs_live)
+        )
+        return (
+            cam_pose_new, lm_pos_new, obs_live, ln_U_new, ln_w_new,
+            lobs_live,
+        ), None
 
-    (cam_pose, lm_pos, obs_live), _ = jax.lax.scan(
+    if lines is not None:
+        ln_U0, ln_w0 = lines.ln_U, lines.ln_w
+        lobs_live0 = (
+            lines.lobs_valid & lines.ln_valid[lines.lobs_line]
+        )
+        # Pre-gate: an observation grossly inconsistent with the INPUT
+        # geometry (e.g. associations spanning an uncorrected loop-drift
+        # discontinuity) never enters the solve — Huber down-weights but
+        # does not zero, and by the first cull it has already dragged the
+        # line (measured: the loop-healing scenario collapsed without
+        # this). The gate is SCENE-ADAPTIVE — 9x the median live chi2,
+        # floored at 9x the chi2 threshold — so a window whose geometry
+        # is merely un-converged (large but consistent residuals, e.g.
+        # right after initialization) keeps its edges, while outliers an
+        # order above the bulk are dropped.
+        r_l0, _, _ = _line_rj(
+            lines.ln_U[lines.lobs_line], lines.ln_w[lines.lobs_line],
+            prob.cam_pose[lines.lobs_cam, :, :3],
+            prob.cam_pose[lines.lobs_cam, :, 3],
+            lines.lobs_seg,
+        )
+        chi2_l0 = jnp.sum(r_l0 * r_l0, -1) * lines.lobs_inv_sigma_sq
+        n_live = jnp.sum(lobs_live0)
+        chi_sorted = jnp.sort(jnp.where(lobs_live0, chi2_l0, jnp.inf))
+        med = chi_sorted[
+            jnp.clip((n_live - 1) // 2, 0, chi2_l0.shape[0] - 1)
+        ]
+        med = jnp.where(jnp.isfinite(med), med, 0.0)
+        gate = jnp.maximum(9.0 * robust.CHI2_2D, 9.0 * med)
+        lobs_live0 = lobs_live0 & (chi2_l0 <= gate)
+    else:
+        ln_U0 = jnp.zeros((0, 3, 3), jnp.float32)
+        ln_w0 = jnp.zeros((0, 2), jnp.float32)
+        lobs_live0 = jnp.zeros((0,), bool)
+    (cam_pose, lm_pos, obs_live, ln_U_f, ln_w_f, _), _ = jax.lax.scan(
         iteration,
-        (prob.cam_pose, prob.lm_pos, obs_live0),
+        (prob.cam_pose, prob.lm_pos, obs_live0, ln_U0, ln_w0, lobs_live0),
         jnp.arange(num_iters),
     )
     # Re-project rotations onto SO(3); fixed cameras keep their exact input
@@ -341,4 +541,6 @@ def ba_solve(
     thr = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
     inlier = obs_live & (chi2 <= thr)
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    if lines is not None:
+        return BAResult(cam_pose, lm_pos, inlier, total, ln_U_f, ln_w_f)
     return BAResult(cam_pose, lm_pos, inlier, total)

@@ -56,20 +56,32 @@ class GlobalBAData(NamedTuple):
 
 def prepare(state: ms.MapState, inv_sigma_sq_table: np.ndarray,
             max_obs_per_lm: int = 12) -> GlobalBAData:
+    """Enumerate observations + pairs from a (device) MapState. Blocks on
+    the device queue; the deferred loop-BA path uses
+    :func:`prepare_from_arrays` over async-prefetched host copies
+    instead."""
+    return prepare_from_arrays(
+        np.asarray(state.kf_valid), np.asarray(state.kf_kp_valid),
+        np.asarray(state.kf_lm_idx), np.asarray(state.lm_valid),
+        np.asarray(state.kf_xy), np.asarray(state.kf_xr),
+        np.asarray(state.kf_level), np.asarray(inv_sigma_sq_table),
+        max_obs_per_lm=max_obs_per_lm,
+    )
+
+
+def prepare_from_arrays(kf_valid, kp_valid, lm_idx, lm_valid, xy, xr, level,
+                        table, max_obs_per_lm: int = 12) -> GlobalBAData:
     """Enumerate observations + co-observation pairs (host, numpy).
 
     ``max_obs_per_lm`` caps the pair blow-up per landmark (the strongest
     ``max_obs_per_lm`` observations are kept for the reduced system; all
     observations still contribute to Hcc/Hll/b).
+
+    Observation and pair lists are padded to power-of-two buckets
+    (``obs_info = 0`` marks dead rows; padded pairs point at a dead
+    observation slot) so the jitted solvers' executables are reused
+    across loop closures.
     """
-    kf_valid = np.asarray(state.kf_valid)
-    kp_valid = np.asarray(state.kf_kp_valid)
-    lm_idx = np.asarray(state.kf_lm_idx)
-    lm_valid = np.asarray(state.lm_valid)
-    xy = np.asarray(state.kf_xy)
-    xr = np.asarray(state.kf_xr)
-    level = np.asarray(state.kf_level)
-    table = np.asarray(inv_sigma_sq_table)
 
     ks, ns = np.nonzero((lm_idx >= 0) & kp_valid & kf_valid[:, None])
     lms = lm_idx[ks, ns]
@@ -105,16 +117,38 @@ def prepare(state: ms.MapState, inv_sigma_sq_table: np.ndarray,
         pair_o1 = np.zeros(0, np.int64)
         pair_o2 = np.zeros(0, np.int64)
 
+    # Bucket padding: O_pad > O strictly, so slot O_pad - 1 is always a
+    # dead observation (obs_info = 0 -> zero weight -> zero Jacobian
+    # blocks) for padded pairs to point at.
+    O_pad = 1 << max(10, int(O).bit_length())
+    P = len(pair_o1)
+    P_pad = 1 << max(10, int(P).bit_length())
+
+    def padded(a, fill, dtype):
+        out = np.full((O_pad,) + np.asarray(a).shape[1:], fill, dtype)
+        out[:O] = a
+        return out
+
+    ks_p = padded(ks, 0, np.int32)
+    lms_p = padded(lms, 0, np.int32)
+    uv_p = padded(obs_uv, 0.0, np.float32)
+    xr_p = padded(obs_xr, -1.0, np.float32)
+    info_p = padded(obs_info, 0.0, np.float32)
+    p1 = np.full(P_pad, O_pad - 1, np.int64)
+    p2 = np.full(P_pad, O_pad - 1, np.int64)
+    p1[:P] = pair_o1
+    p2[:P] = pair_o2
+
     return GlobalBAData(
-        obs_cam=jnp.asarray(ks, jnp.int32),
-        obs_lm=jnp.asarray(lms, jnp.int32),
-        obs_uv=jnp.asarray(obs_uv, jnp.float32),
-        obs_xr=jnp.asarray(obs_xr, jnp.float32),
-        obs_info=jnp.asarray(obs_info, jnp.float32),
-        pair_o1=jnp.asarray(pair_o1, jnp.int32),
-        pair_o2=jnp.asarray(pair_o2, jnp.int32),
+        obs_cam=jnp.asarray(ks_p, jnp.int32),
+        obs_lm=jnp.asarray(lms_p, jnp.int32),
+        obs_uv=jnp.asarray(uv_p, jnp.float32),
+        obs_xr=jnp.asarray(xr_p, jnp.float32),
+        obs_info=jnp.asarray(info_p, jnp.float32),
+        pair_o1=jnp.asarray(p1, jnp.int32),
+        pair_o2=jnp.asarray(p2, jnp.int32),
         num_obs=O,
-        num_pairs=len(pair_o1),
+        num_pairs=P,
     )
 
 

@@ -120,6 +120,21 @@ def refine_lines(camera, state: ms.MapState, *, num_iters: int = 4,
     e1 = lg.closest_point_on_line(pluck, state.ln_endpoints[:, :3])
     e2 = lg.closest_point_on_line(pluck, state.ln_endpoints[:, 3:])
     eps = jnp.concatenate([e1, e2], axis=-1)
+    # Geometric trust gate: the orthonormal w-update changes the line's
+    # distance from the origin MULTIPLICATIVELY, so an ill-conditioned
+    # line (near-parallel observations) can fly tens of meters across
+    # iterations while every tangent step stays inside its clip. Reject
+    # refinements that move the endpoints further than about one segment
+    # length — large enough for genuine post-loop healing (~drift size),
+    # small enough to stop runaways.
+    span = jnp.linalg.norm(
+        state.ln_endpoints[:, 3:] - state.ln_endpoints[:, :3], axis=-1
+    )
+    move = jnp.maximum(
+        jnp.linalg.norm(e1 - state.ln_endpoints[:, :3], axis=-1),
+        jnp.linalg.norm(e2 - state.ln_endpoints[:, 3:], axis=-1),
+    )
+    refinable = refinable & (move <= span + 0.2)
     upd = refinable[:, None]
     return state._replace(
         ln_pluck=jnp.where(upd, pluck, state.ln_pluck),

@@ -86,8 +86,8 @@ def _pack_detect_arrays(cov, kf, scores, kf_valid):
     ], axis=1)
 
 
-def _detect_packed(state: ms.MapState, kf, bow):
-    cov = ms.covisibility_matrix(state)
+def _detect_packed(state: ms.MapState, kf, bow, ind=None):
+    cov = ms.covisibility_matrix(state, ind)
     return (
         _pack_detect_arrays(cov, kf, bow.scores_for_slot(state, kf),
                             state.kf_valid),
@@ -116,7 +116,7 @@ class LoopCloser:
         self.num_loops_closed = 0
 
     # ------------------------------------------------------------------
-    def detect_dispatch(self, state: ms.MapState, kf: int):
+    def detect_dispatch(self, state: ms.MapState, kf: int, ind=None):
         """Dispatch the loop-detection compute for keyframe ``kf`` and
         start its device->host copy in the background. Returns the packed
         device array (consume with :meth:`detect_consume`), or None when
@@ -128,7 +128,7 @@ class LoopCloser:
         ride the async copy and be consumed at the NEXT keyframe."""
         if kf - self.last_loop_kf < self.min_gap:
             return None
-        packed, cov = _detect_packed(state, kf, self.bow)
+        packed, cov = _detect_packed(state, kf, self.bow, ind)
         try:
             packed.copy_to_host_async()
         except (AttributeError, NotImplementedError):
@@ -216,8 +216,15 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def correct(self, state: ms.MapState, kf_cur: int, kf_cand: int,
-                R21, t21, s21, inv_sigma_sq_table):
+                R21, t21, s21, inv_sigma_sq_table, *,
+                run_global_ba: bool = True):
         """Propagate the loop constraint and optimize the pose graph.
+
+        ``run_global_ba=False`` stops after the pose graph: the caller
+        (System's deferred loop-BA machinery) runs the full-map BA in
+        chunks across subsequent frames instead — the role of the
+        reference's 4th thread (loop_bundle_adjuster.cc:68-145 runs
+        global BA WITHOUT blocking tracking, then merges).
 
         Returns the corrected MapState.
         """
@@ -238,10 +245,17 @@ class LoopCloser:
         )
 
         # Covisible neighborhood of cur gets the rigid-relative correction:
-        # S_i_corr = (S_i_old ∘ S_cur_old^-1) ∘ S_cur_corr.
-        W = np.array(ms.covisibility_matrix(state)[kf_cur])
-        neigh = (W >= 15) & kf_valid
-        neigh[kf_cur] = True
+        # S_i_corr = (S_i_old ∘ S_cur_old^-1) ∘ S_cur_corr. The CANDIDATE
+        # and its covisibles are explicitly excluded: they are the loop's
+        # fixed side (the pose graph anchors there), and if cur<->cand
+        # observations already exist (fuse/re-association) the candidate
+        # would otherwise ride the correction and move the anchor itself.
+        Wm = np.array(ms.covisibility_matrix(state)[
+            np.array([kf_cur, kf_cand])
+        ])
+        neigh = (Wm[0] >= 15) & kf_valid
+        neigh &= ~((Wm[1] >= 15) | (np.arange(K) == kf_cand))
+        neigh[kf_cur] = True  # cur always corrects (even if cand-covisible)
 
         R_old = jnp.asarray(old_pose[:, :, :3])
         t_old = jnp.asarray(old_pose[:, :, 3])
@@ -299,27 +313,29 @@ class LoopCloser:
         self._continuity.clear()
         self.num_loops_closed += 1
 
-        # Full-map global BA after the pose graph (reference: the loop BA
-        # thread runs global_bundle_adjuster over the whole map,
-        # loop_bundle_adjuster.cc:81-82). Pair-based sparse Schur scales to
-        # the full keyframe/landmark set.
-        from structure_plp_slam_tpu.models import global_ba
+        if run_global_ba:
+            # Full-map global BA after the pose graph (reference: the loop
+            # BA thread runs global_bundle_adjuster over the whole map,
+            # loop_bundle_adjuster.cc:81-82). Pair-based sparse Schur
+            # scales to the full keyframe/landmark set.
+            from structure_plp_slam_tpu.models import global_ba
 
-        pose_before = state.kf_pose
-        state = global_ba.run_global_ba(
-            self.camera, state, np.asarray(inv_sigma_sq_table),
-            anchor_kf=kf_cand, mesh=self.mesh,
-        )
-        # Global BA moves poses and points directly; lines and planes ride
-        # their reference keyframe's pose delta (the reference's loop-BA
-        # propagation corrects lines too, loop_bundle_adjuster.cc:110-145).
-        ones = jnp.ones((K,), jnp.float32)
-        state = pg.correct_map_structures(
-            state,
-            pose_before[:, :, :3], pose_before[:, :, 3], ones,
-            state.kf_pose[:, :, :3], state.kf_pose[:, :, 3], ones,
-            lm_mask=jnp.zeros_like(state.lm_valid),  # points: BA-optimized
-        )
+            pose_before = state.kf_pose
+            state = global_ba.run_global_ba(
+                self.camera, state, np.asarray(inv_sigma_sq_table),
+                anchor_kf=kf_cand, mesh=self.mesh,
+            )
+            # Global BA moves poses and points directly; lines and planes
+            # ride their reference keyframe's pose delta (the reference's
+            # loop-BA propagation corrects lines too,
+            # loop_bundle_adjuster.cc:110-145).
+            ones = jnp.ones((K,), jnp.float32)
+            state = pg.correct_map_structures(
+                state,
+                pose_before[:, :, :3], pose_before[:, :, 3], ones,
+                state.kf_pose[:, :, :3], state.kf_pose[:, :, 3], ones,
+                lm_mask=jnp.zeros_like(state.lm_valid),  # points: BA moved
+            )
         return state
 
     # ------------------------------------------------------------------

@@ -222,7 +222,8 @@ def triangulate_pair(
 
 @functools.partial(jax.jit, static_argnames=("camera", "num_neighbors"))
 def triangulate_with_neighbors(
-    camera, state: ms.MapState, slot, base_lm_slot, *, num_neighbors: int = 2
+    camera, state: ms.MapState, slot, base_lm_slot, ind=None, *,
+    num_neighbors: int = 2
 ):
     """Triangulate new landmarks with the top covisible neighbors of
     ``slot`` — neighbor SELECTION happens on device (covisibility top-k,
@@ -232,7 +233,7 @@ def triangulate_with_neighbors(
 
     Returns (state, num_created_total).
     """
-    W = ms.covisibility_matrix(state)[slot]
+    W = ms.covisibility_matrix(state, ind)[slot]
     W = W.at[slot].set(0)
     W = jnp.where(state.kf_valid, W, 0)
     w_top, nbs = jax.lax.top_k(W, num_neighbors)
@@ -265,7 +266,7 @@ def map_scale(state: ms.MapState, kf):
 
 
 @jax.jit
-def update_landmark_normals(state: ms.MapState):
+def update_landmark_normals(state: ms.MapState, ind=None):
     """Refresh each landmark's mean viewing direction over its CURRENT
     observers (reference: landmark::update_normal_and_depth averages unit
     cam->point directions over all observations; landmark.h:105-110).
@@ -274,7 +275,8 @@ def update_landmark_normals(state: ms.MapState):
     by 1 before normalizing the SUM of (X - C_k) — equivalent up to the
     per-ray 1/|X - C_k| weights, which only matters for extreme depth
     ratios between observers."""
-    ind = ms.observation_indicator(state)  # [K, L]
+    if ind is None:
+        ind = ms.observation_indicator(state)  # [K, L]
     R = state.kf_pose[:, :, :3]
     t = state.kf_pose[:, :, 3]
     C = -jnp.einsum("kji,kj->ki", R, t)  # [K, 3] camera centers
@@ -292,7 +294,8 @@ def update_landmark_normals(state: ms.MapState):
 @functools.partial(
     jax.jit, static_argnames=("scale_factor", "num_levels", "max_obs")
 )
-def refresh_landmark_stats(state: ms.MapState, *, scale_factor: float = 1.2,
+def refresh_landmark_stats(state: ms.MapState, ind=None, *,
+                           scale_factor: float = 1.2,
                            num_levels: int = 8, max_obs: int = 8):
     """Refresh the per-landmark statistics that the reference maintains on
     every observation change (data/landmark.h:99-110):
@@ -319,7 +322,8 @@ def refresh_landmark_stats(state: ms.MapState, *, scale_factor: float = 1.2,
     M = max_obs
 
     # ---- normals: one indicator matmul (as before) --------------------
-    ind = ms.observation_indicator(state)  # [K, L]
+    if ind is None:
+        ind = ms.observation_indicator(state)  # [K, L]
     R = state.kf_pose[:, :, :3]
     t = state.kf_pose[:, :, 3]
     C = -jnp.einsum("kji,kj->ki", R, t)  # [K, 3] camera centers
@@ -421,7 +425,8 @@ def refresh_landmark_stats(state: ms.MapState, *, scale_factor: float = 1.2,
 
 
 @functools.partial(jax.jit, static_argnames=("camera",))
-def fuse_into_keyframe(camera, state: ms.MapState, kf, lm_cand_mask):
+def fuse_into_keyframe(camera, state: ms.MapState, kf, lm_cand_mask,
+                       ind=None):
     """Project candidate landmarks into keyframe ``kf``; where they match a
     keypoint that already references a different landmark, merge the pair
     (keep the more-observed landmark); where the keypoint is free, add the
@@ -470,7 +475,7 @@ def fuse_into_keyframe(camera, state: ms.MapState, kf, lm_cand_mask):
     safe_kp = jnp.where(matched, kp_best, N)
     existing = jnp.concatenate([state.kf_lm_idx[kf], jnp.array([-1])])[safe_kp]
 
-    counts = ms.landmark_observation_counts(state)
+    counts = ms.landmark_observation_counts(state, ind)
     lm_ids = jnp.arange(L, dtype=jnp.int32)
     # Case A: keypoint free -> register observation.
     free_kp = matched & (existing < 0)
@@ -512,12 +517,13 @@ def _project(camera, R, t, pts):
 
 
 @jax.jit
-def cull_landmarks(state: ms.MapState, current_kf, recent_window: int = 2):
+def cull_landmarks(state: ms.MapState, current_kf, recent_window: int = 2,
+                   ind=None):
     """Remove unreliable recent landmarks: observed-ratio < 0.3, or created
     >= ``recent_window`` keyframes ago but observed by <= 2 keyframes
     (reference: local_map_cleaner.cc:51; plane-owned landmarks exempt :83).
     """
-    counts = ms.landmark_observation_counts(state)
+    counts = ms.landmark_observation_counts(state, ind)
     ratio = state.lm_n_fnd.astype(jnp.float32) / jnp.maximum(
         state.lm_n_vis.astype(jnp.float32), 1.0
     )
@@ -530,12 +536,12 @@ def cull_landmarks(state: ms.MapState, current_kf, recent_window: int = 2):
 
 
 @jax.jit
-def cull_keyframes(state: ms.MapState, protect_kf):
+def cull_keyframes(state: ms.MapState, protect_kf, ind=None):
     """Remove redundant keyframes: >= 90% of their landmarks are observed
     by >= 3 other keyframes (reference: local_map_cleaner.cc:201; the scale
     condition is dropped — masked matching replaces the scale-bucketed
     redundancy test)."""
-    counts = ms.landmark_observation_counts(state)
+    counts = ms.landmark_observation_counts(state, ind)
     lm = state.kf_lm_idx
     has = (lm >= 0) & state.kf_kp_valid
     c = counts[jnp.clip(lm, 0, None)]
@@ -555,7 +561,9 @@ def cull_keyframes(state: ms.MapState, protect_kf):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("camera", "max_opt", "max_fix", "max_lms")
+    jax.jit,
+    static_argnames=("camera", "max_opt", "max_fix", "max_lms",
+                     "with_lines", "max_lines"),
 )
 def local_ba(
     camera,
@@ -566,6 +574,9 @@ def local_ba(
     max_opt: int = 16,
     max_fix: int = 16,
     max_lms: int = 4096,
+    with_lines: bool = False,
+    max_lines: int = 128,
+    ind=None,
 ):
     """Local bundle adjustment around ``current_kf``.
 
@@ -582,7 +593,8 @@ def local_ba(
     max_fix = min(max_fix, K)
     max_lms = min(max_lms, L)
 
-    ind = ms.observation_indicator(state)  # [K, L]
+    if ind is None:
+        ind = ms.observation_indicator(state)  # [K, L]
     W_cur = ind @ ind[current_kf]
     W_cur = jnp.where(state.kf_valid, W_cur, -1.0)
     W_cur = W_cur.at[current_kf].set(1e9)  # current always first
@@ -591,7 +603,7 @@ def local_ba(
     opt_ok = opt_ok.at[0].set(True)
 
     opt_mask = jnp.zeros((K,), bool).at[opt_kfs].set(opt_ok)
-    lm_mask = ms.local_landmark_mask(state, opt_mask)
+    lm_mask = ms.local_landmark_mask(state, opt_mask, ind)
     lm_idx = jnp.nonzero(lm_mask, size=max_lms, fill_value=-1)[0]
     lm_ok = lm_idx >= 0
     lm_safe = jnp.clip(lm_idx, 0, L - 1)
@@ -661,10 +673,54 @@ def local_ba(
         obs_inv_sigma_sq=info.reshape(-1),
         obs_valid=obs_valid_c.reshape(-1),
     )
+    # Joint point+line terms (reference puts line reprojection edges in
+    # the same graph, local_bundle_adjuster_extended_line.cc:69-; the
+    # corridor experiment measures ~9x pose-RMSE win over alternation in
+    # line-rich/point-poor scenes — tests/test_line_ba_joint_experiment).
+    lw = None
+    if with_lines:
+        from structure_plp_slam_tpu.ops import line_geometry as lg
+
+        L2 = state.ln_pluck.shape[0]
+        MLs = state.kf_line_idx.shape[1]
+        ln_g = state.kf_line_idx[cams]                    # [C, MLs]
+        ln_obs_ok = (
+            (ln_g >= 0) & state.kf_seg_valid[cams] & cam_ok[:, None]
+        )
+        lmask = jnp.zeros((L2 + 1,), bool).at[
+            jnp.where(ln_obs_ok, ln_g, L2)
+        ].set(True, mode="drop")[:L2] & state.ln_valid
+        l_idx = jnp.nonzero(lmask, size=max_lines, fill_value=-1)[0]
+        l_ok = l_idx >= 0
+        l_safe = jnp.clip(l_idx, 0, L2 - 1)
+        g2l_ln = jnp.full((L2 + 1,), -1, jnp.int32).at[
+            jnp.where(l_ok, l_safe, L2)
+        ].set(jnp.where(l_ok, jnp.arange(max_lines, dtype=jnp.int32), -1),
+              mode="drop")
+        lobs_line = g2l_ln[jnp.clip(ln_g, 0, L2)]         # [C, MLs]
+        lobs_ok = ln_obs_ok & (lobs_line >= 0)
+        lobs_line_c = jnp.clip(lobs_line, 0, max_lines - 1).reshape(-1)
+        lobs_cam = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[:, None], (C, MLs)
+        ).reshape(-1)
+        counts_ln = jnp.zeros((max_lines,), jnp.int32).at[
+            jnp.where(lobs_ok.reshape(-1), lobs_line_c, max_lines)
+        ].add(1, mode="drop")
+        U0, w0 = lg.plucker_to_orthonormal(state.ln_pluck[l_safe])
+        lw = ba.LineWindow(
+            ln_U=U0,
+            ln_w=w0,
+            ln_valid=l_ok & (counts_ln >= 2),
+            lobs_cam=lobs_cam,
+            lobs_line=lobs_line_c,
+            lobs_seg=state.kf_seg[cams].reshape(-1, 4),
+            lobs_inv_sigma_sq=jnp.ones((C * MLs,), jnp.float32),
+            lobs_valid=lobs_ok.reshape(-1),
+        )
     # 10 damped-GN iterations with the outlier cull after 4 (reference:
     # local_bundle_adjuster.cc runs 5 + cull + 10 with exact g2o solves;
     # the damped Schur solve here converges in fewer).
-    result = ba.ba_solve(camera, prob, obs_grid=True, num_iters=10,
+    result = ba.ba_solve(camera, prob, lw, obs_grid=True, num_iters=10,
                          cull_at_iters=(4,))
 
     # Write back optimized poses (opt cameras only) and landmark positions.
@@ -685,12 +741,55 @@ def local_ba(
     old_pose = state.kf_pose
     state = state._replace(kf_pose=new_pose, lm_pos=new_lm, kf_lm_idx=kf_lm)
 
+    if with_lines:
+        # Write back the jointly-optimized window lines: Plücker with the
+        # framework's |d| = 1 convention, endpoints projected onto the
+        # moved line (line_ba.refine_lines write-back semantics).
+        from structure_plp_slam_tpu.ops import line_geometry as lg
+
+        pluck = lg.orthonormal_to_plucker(result.ln_U, result.ln_w)
+        d_norm = jnp.maximum(
+            jnp.linalg.norm(pluck[:, 3:], axis=-1, keepdims=True), 1e-12
+        )
+        pluck = pluck / d_norm
+        eps_old = state.ln_endpoints[l_safe]
+        e1 = lg.closest_point_on_line(pluck, eps_old[:, :3])
+        e2 = lg.closest_point_on_line(pluck, eps_old[:, 3:])
+        eps = jnp.concatenate([e1, e2], axis=-1)
+        # Geometric trust gate (see line_ba.refine_lines): reject updates
+        # that fly further than about one segment length.
+        span = jnp.linalg.norm(eps_old[:, 3:] - eps_old[:, :3], axis=-1)
+        move = jnp.maximum(
+            jnp.linalg.norm(e1 - eps_old[:, :3], axis=-1),
+            jnp.linalg.norm(e2 - eps_old[:, 3:], axis=-1),
+        )
+        upd = (
+            lw.ln_valid
+            & jnp.all(jnp.isfinite(pluck), axis=-1)
+            & (move <= span + 0.2)
+        )
+        tgt = jnp.where(upd, l_safe, L2)
+        state = state._replace(
+            ln_pluck=state.ln_pluck.at[tgt].set(
+                jnp.where(upd[:, None], pluck, 0.0), mode="drop"
+            ),
+            ln_endpoints=state.ln_endpoints.at[tgt].set(
+                jnp.where(upd[:, None], eps, 0.0), mode="drop"
+            ),
+        )
+        # Jointly-optimized lines must NOT also ride the keyframe pose
+        # delta below (they are BA variables now, like the points).
+        ln_updated = jnp.zeros((L2 + 1,), bool).at[tgt].set(
+            upd, mode="drop"
+        )[:L2]
+    else:
+        ln_updated = jnp.zeros_like(state.ln_valid)
+
     # Lines and planes ride their reference keyframe's pose delta so the
-    # structural map stays consistent with the optimized poses (points are
-    # BA variables; keyframes outside the window have identity deltas).
-    # The reference optimizes lines INSIDE BA
-    # (local_bundle_adjuster_extended_line.cc); the joint point+line solve
-    # here lives in line_ba.refine_lines, run right after this.
+    # structural map stays consistent with the optimized poses (points
+    # are BA variables; with_lines, window lines are BA variables too —
+    # reference: local_bundle_adjuster_extended_line.cc — so only
+    # OUT-OF-WINDOW lines ride).
     from structure_plp_slam_tpu.models import pose_graph as pg
 
     ones = jnp.ones((K,), jnp.float32)
@@ -699,5 +798,6 @@ def local_ba(
         old_pose[:, :, :3], old_pose[:, :, 3], ones,
         new_pose[:, :, :3], new_pose[:, :, 3], ones,
         lm_mask=jnp.zeros_like(state.lm_valid),
+        ln_mask=state.ln_valid & ~ln_updated,
     )
     return state, result.chi2

@@ -93,7 +93,9 @@ def label_keypoints(seg_mask, kp_xy, kp_valid, check_3x3: bool = True):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_instances", "coherent", "params")
+    jax.jit,
+    static_argnames=("max_instances", "coherent", "params", "thr_mult",
+                     "ratio_override"),
 )
 def detect_planes(
     state: ms.MapState,
@@ -106,6 +108,8 @@ def detect_planes(
     max_instances: int = MAX_INSTANCES,
     coherent: bool = False,
     params: PlanarParams = PlanarParams(),
+    thr_mult: float = 1.0,
+    ratio_override: float = None,
 ):
     """Fit a plane per mask instance from the keyframe's landmarks.
 
@@ -116,6 +120,14 @@ def detect_planes(
     ``coherent`` selects the spatial-coherence consensus
     (plane_fit.plane_ransac_coherent — the GC-RANSAC role, reference
     Threshold.use_graph_cut).
+
+    ``thr_mult``/``ratio_override`` relax the acceptance gates for
+    TWO-VIEW MONOCULAR clouds (System._init_structures): triangulation
+    depth noise there is sigma_z/z ~ z*sigma_px/(b*f) — several percent
+    of the map scale, an order above depth-sensor noise, so the
+    depth-grade 0.02*scale threshold rejects every init plane. Planes
+    accepted through the relaxed gates are flagged ``pl_needs_refresh``
+    so the next keyframe's multi-view refinement re-fits them.
     Returns (state, num_created).
     """
     N = labels.shape[0]
@@ -127,7 +139,7 @@ def detect_planes(
     pts = state.lm_pos[lm_safe]
     # A landmark already owned by a plane is not re-bucketed.
     unowned = state.lm_plane[lm_safe] < 0
-    thr = params.plane_distance * scale  # Threshold.plane_distance_correction
+    thr = params.plane_distance * scale * thr_mult  # Threshold.plane_distance_correction
 
     # Arbitrary instance ids map to the top-``max_instances`` buckets by
     # keypoint support — PlaneRecNet masks routinely carry 20+ instances
@@ -164,7 +176,8 @@ def detect_planes(
         n_cand = jnp.sum(sel)
         good = (
             (n_inl >= params.min_points)
-            & (n_inl >= params.inliers_ratio_thr * jnp.maximum(n_cand, 1))
+            & (n_inl >= (params.inliers_ratio_thr if ratio_override is None
+                         else ratio_override) * jnp.maximum(n_cand, 1))
         )
         return coef, inl & sel, good
 
@@ -179,7 +192,9 @@ def detect_planes(
         pl_coef=state.pl_coef.at[safe].set(coefs, mode="drop"),
         pl_valid=state.pl_valid.at[safe].set(goods, mode="drop"),
         pl_needs_refresh=state.pl_needs_refresh.at[safe].set(
-            jnp.zeros_like(goods), mode="drop"
+            # Relaxed-gate (init-time mono) planes demand a multi-view
+            # re-fit as soon as more observations exist.
+            jnp.full_like(goods, thr_mult > 1.0), mode="drop"
         ),
         pl_ref_kf=state.pl_ref_kf.at[safe].set(
             jnp.full_like(slots, kf), mode="drop"

@@ -44,7 +44,11 @@ NUM_SAMPLES = 16
 # 8-stat bands (binary_descriptor_custom.cpp), plus a band-intensity
 # context term that disambiguates parallel lines with identical edge
 # profiles but different surroundings.
-DESC_DIM = NUM_BANDS * 7
+# 4 tight-band gradient stats + 4 wide-band gradient stats + band-relative
+# intensity + 4 quarter profiles + wide band-relative intensity (all x B),
+# + the double-angle image-orientation pair.
+ANGLE_WEIGHT = 0.45
+DESC_DIM = NUM_BANDS * 14 + 2
 
 
 def sobel_gradients(img):
@@ -311,52 +315,84 @@ def line_band_descriptors(img, seg, valid):
     ts = jnp.linspace(0.05, 0.95, NUM_SAMPLES)
     bands = jnp.arange(NUM_BANDS, dtype=jnp.float32) - (NUM_BANDS - 1) / 2.0
 
-    # Sample grid [M, T, B].
-    cx = (
-        x1[:, None, None]
-        + ts[None, :, None] * dx[:, None, None]
-        + bands[None, None, :] * nx[:, None, None] * 2.0
-    )
-    cy = (
-        y1[:, None, None]
-        + ts[None, :, None] * dy[:, None, None]
-        + bands[None, None, :] * ny[:, None, None] * 2.0
-    )
-    xi = jnp.clip(cx.astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(cy.astype(jnp.int32), 0, H - 1)
-    sgx = gx[yi, xi]
-    sgy = gy[yi, xi]
-    g_par = sgx * dirx[:, None, None] + sgy * diry[:, None, None]
-    g_per = sgx * nx[:, None, None] + sgy * ny[:, None, None]
-    inten = img[yi, xi]  # [M, T, B]
+    def band_stats(spacing):
+        """Gradient band statistics + intensity context at one band
+        spacing. Returns ([M, 4B] gradient stats, [M, T, B] intensity)."""
+        cx = (
+            x1[:, None, None]
+            + ts[None, :, None] * dx[:, None, None]
+            + bands[None, None, :] * nx[:, None, None] * spacing
+        )
+        cy = (
+            y1[:, None, None]
+            + ts[None, :, None] * dy[:, None, None]
+            + bands[None, None, :] * ny[:, None, None] * spacing
+        )
+        xi = jnp.clip(cx.astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(cy.astype(jnp.int32), 0, H - 1)
+        sgx = gx[yi, xi]
+        sgy = gy[yi, xi]
+        g_par = sgx * dirx[:, None, None] + sgy * diry[:, None, None]
+        g_per = sgx * nx[:, None, None] + sgy * ny[:, None, None]
+        stats = jnp.concatenate(
+            [
+                jnp.mean(g_par, axis=1),
+                jnp.mean(g_per, axis=1),
+                jnp.std(g_par, axis=1),
+                jnp.std(g_per, axis=1),
+            ],
+            axis=1,
+        )
+        return stats, img[yi, xi]
+
+    # Two band scales (round-2 review, weak #5): the tight scale reads
+    # the edge profile itself, the wide scale reads the CONTEXT several
+    # pixels out — what separates visually similar parallel lines (the
+    # reference LBD gets its context from multi-octave detection,
+    # line_extractor.cc:130-136).
+    g_tight, inten = band_stats(2.0)
+    g_wide, inten_w = band_stats(5.0)
+
     # Band-relative intensity: invariant to global brightness, keeps the
-    # cross-band contrast pattern. Computed per line-HALF as well — the
-    # canonical orientation makes halves comparable across views, and
-    # along-line structure (intensity ramps, asymmetric context) is what
-    # separates visually similar parallel lines.
+    # cross-band contrast pattern. Computed per line-QUARTER as well —
+    # the canonical orientation makes quarters comparable across views,
+    # and along-line structure (intensity ramps, asymmetric context) is
+    # what separates visually similar parallel lines.
     band_mean = jnp.mean(inten, axis=1)  # [M, B]
     band_rel = band_mean - jnp.mean(band_mean, axis=1, keepdims=True)
-    half = NUM_SAMPLES // 2
-    half_mean = jnp.stack(
-        [jnp.mean(inten[:, :half], axis=1), jnp.mean(inten[:, half:], axis=1)],
+    q = NUM_SAMPLES // 4
+    quarter_mean = jnp.stack(
+        [jnp.mean(inten[:, i * q:(i + 1) * q], axis=1) for i in range(4)],
         axis=-1,
-    )  # [M, B, 2]
-    half_rel = (
-        half_mean - jnp.mean(half_mean, axis=(1, 2), keepdims=True)
+    )  # [M, B, 4]
+    quarter_rel = (
+        quarter_mean - jnp.mean(quarter_mean, axis=(1, 2), keepdims=True)
     ).reshape(inten.shape[0], -1)
+    band_mean_w = jnp.mean(inten_w, axis=1)
+    band_rel_w = band_mean_w - jnp.mean(band_mean_w, axis=1, keepdims=True)
     feat = jnp.concatenate(
         [
-            jnp.mean(g_par, axis=1),
-            jnp.mean(g_per, axis=1),
-            jnp.std(g_par, axis=1),
-            jnp.std(g_per, axis=1),
+            g_tight,
+            g_wide * 0.7,
             band_rel * 0.5,  # balance scale vs gradient stats
-            half_rel * 0.5,
+            quarter_rel * 0.35,
+            band_rel_w * 0.35,
         ],
         axis=1,
-    )  # [M, 7B]
+    )
     n = jnp.linalg.norm(feat, axis=1, keepdims=True)
     feat = feat / jnp.where(n < 1e-6, 1.0, n)
+    # Image-space orientation, double-angle encoded (flip/endpoint-order
+    # invariant): a true match under a modest viewpoint change cannot
+    # rotate tens of degrees, and appearance-only bands happily confuse
+    # differently-oriented strips (measured: 4 of 5 ranking failures
+    # matched >15 deg apart). The reference enforces the same prior via
+    # its rotation-consistency check (match/angle_checker.h); encoding it
+    # in descriptor space keeps matching a pure MXU similarity product.
+    ang = jnp.stack([dirx * dirx - diry * diry, 2.0 * dirx * diry], axis=1)
+    feat = jnp.concatenate([feat, ang * ANGLE_WEIGHT], axis=1)
+    n2 = jnp.linalg.norm(feat, axis=1, keepdims=True)
+    feat = feat / jnp.where(n2 < 1e-6, 1.0, n2)
     return jnp.where(valid[:, None], feat, 0.0)
 
 

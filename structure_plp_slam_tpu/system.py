@@ -231,6 +231,56 @@ def _clear_failed_init(state):
     )
 
 
+@jax.jit
+def _gba_adopt_step(state, solved_pose, solved_lm, snap_kf_valid,
+                    snap_lm_valid, snap_next_kf):
+    """Merge a deferred global-BA result into the CURRENT map state
+    (reference: loop_bundle_adjuster.cc:100-145 — after the 4th-thread BA
+    finishes, keyframes added during the solve are corrected through
+    their spanning-tree parents, landmarks through their reference
+    keyframes).
+
+    Keyframes that existed at the solve snapshot take the solved poses;
+    keyframes inserted DURING the solve ride the delta of the last
+    snapshot keyframe (their spanning-tree ancestor on a video
+    trajectory): P_child_new = P_child_cur o P_last_cur^-1 o P_last_new.
+    Snapshot-era landmarks take solved positions; landmarks created
+    during the solve (and all lines/planes) ride their reference
+    keyframe's delta. Returns the merged state.
+    """
+    from structure_plp_slam_tpu.models import pose_graph as pg
+
+    K = state.kf_pose.shape[0]
+    old_pose = state.kf_pose
+    existed = (jnp.arange(K) < snap_next_kf) & snap_kf_valid
+
+    last = jnp.clip(snap_next_kf - 1, 0, K - 1)
+    Rc, tc = old_pose[last, :, :3], old_pose[last, :, 3]
+    Rn, tn = solved_pose[last, :, :3], solved_pose[last, :, 3]
+    # M = P_last_cur^-1 o P_last_new  (world'->world of the BA shift).
+    Rm = Rc.T @ Rn
+    tm = Rc.T @ (tn - tc)
+    R_child = jnp.einsum("kij,jl->kil", old_pose[:, :, :3], Rm)
+    t_child = jnp.einsum("kij,j->ki", old_pose[:, :, :3], tm) + old_pose[:, :, 3]
+    child_pose = jnp.concatenate([R_child, t_child[:, :, None]], axis=2)
+    adopted = jnp.where(existed[:, None, None], solved_pose, child_pose)
+
+    keep_lm = snap_lm_valid & state.lm_valid
+    lm_pos = jnp.where(keep_lm[:, None], solved_lm, state.lm_pos)
+    state = state._replace(kf_pose=adopted, lm_pos=lm_pos)
+
+    # Lines, planes and solve-era-new landmarks ride their reference
+    # keyframe's delta (old -> adopted).
+    ones = jnp.ones((K,), jnp.float32)
+    state = pg.correct_map_structures(
+        state,
+        old_pose[:, :, :3], old_pose[:, :, 3], ones,
+        adopted[:, :, :3], adopted[:, :, 3], ones,
+        lm_mask=state.lm_valid & ~snap_lm_valid,
+    )
+    return state
+
+
 @dataclasses.dataclass
 class _PendingFrame:
     """A fed frame whose host-side decisions (lost check, keyframe
@@ -270,6 +320,7 @@ class System:
         distributed_ba: bool = True,
         store_dense_cloud: bool = False,
         dense_cloud_stride: int = 8,
+        async_loop_ba: bool = True,
     ):
         # Dense RGB-D cloud display (reference: pangolin_viewer/viewer.h
         # :132-133 draws the RGB-D point cloud): keep a strided copy of
@@ -303,6 +354,15 @@ class System:
         # Deferred loop detection: (kf, packed device array) dispatched at
         # a keyframe, consumed at the next one (or at drain points).
         self._pending_loop = None
+        # Deferred post-loop global BA (the reference's 4th-thread loop BA,
+        # loop_bundle_adjuster.cc:68-145): the full-map solve is chunked
+        # into per-frame dispatches so a loop closure never stalls the
+        # feed for the whole solve; the result is merged at completion
+        # with parent-delta propagation for keyframes inserted meanwhile.
+        self.async_loop_ba = bool(async_loop_ba)
+        self._pending_gba: Optional[dict] = None
+        self.gba_iters_per_chunk = 2
+        self.gba_num_chunks = 5
         # Conditions A1/A2 of the keyframe decision
         # (keyframe_inserter.cc:76-81): A1 forces a keyframe after
         # max_kf_interval frames (reference default: camera fps); A2 allows
@@ -431,6 +491,7 @@ class System:
             self._consume(self._pending.popleft())
         if getattr(self, "_pending_loop", None) is not None:
             self._consume_pending_loop()
+        self._finish_deferred_gba()
 
     def _consume_pending_loop(self, res=None):
         """Consume a deferred loop detection (dispatched at the previous
@@ -458,12 +519,18 @@ class System:
         R21, t21, s21 = val
         _log.info("loop closure: keyframe %d -> %d (s=%.3f)",
                   kf_cur, cand, float(s21))
+        # A still-running deferred BA from a previous loop merges first
+        # (its snapshot predates this correction).
+        self._finish_deferred_gba()
         P_old = self._state.kf_pose[kf_cur]
         with self.timer.stage("loop_correct"):
             self._state = self.loop_closer.correct(
                 self._state, kf_cur, cand, R21, t21, s21,
                 self.frontend.inv_sigma_sq,
+                run_global_ba=not self.async_loop_ba,
             )
+        if self.async_loop_ba:
+            self._start_deferred_gba(anchor_kf=cand)
         P_new = self._state.kf_pose[kf_cur]
         # Tracking continues from the corrected geometry: transport the
         # recurrent pose through the loop keyframe's correction. The
@@ -479,10 +546,168 @@ class System:
         self._invalidate_map_cache()
         return res
 
+    # ------------------------------------------------------------------
+    # Deferred post-loop global BA (reference: loop_bundle_adjuster.cc
+    # runs on its own thread; here the solve is CHUNKED across subsequent
+    # frames so per-frame latency stays bounded on one chip).
+    # ------------------------------------------------------------------
+    def _start_deferred_gba(self, anchor_kf: int):
+        """Snapshot the (post-pose-graph) map and dispatch the async
+        host copies the observation enumeration needs. The solve itself
+        advances one chunk per fed frame (:meth:`_advance_deferred_gba`)."""
+        st = self._state
+        fetch = {
+            "kf_valid": st.kf_valid, "kp_valid": st.kf_kp_valid,
+            "lm_idx": st.kf_lm_idx, "lm_valid": st.lm_valid,
+            "xy": st.kf_xy, "xr": st.kf_xr, "level": st.kf_level,
+        }
+        for v in fetch.values():
+            try:
+                v.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+        self._pending_gba = {
+            "phase": "fetch", "anchor": int(anchor_kf), "fetch": fetch,
+            "snap_pose": st.kf_pose, "snap_lm": st.lm_pos,
+            "snap_kf_valid": st.kf_valid, "snap_lm_valid": st.lm_valid,
+            "snap_next_kf": self.next_kf,
+            "K": st.kf_pose.shape[0], "L": st.lm_pos.shape[0],
+            "data": None, "carry": None, "chunks_left": 0, "aux": None,
+        }
+
+    def _advance_deferred_gba(self):
+        """Advance the deferred global BA by one step (called once per
+        fed frame). Each step is a bounded chunk of work: consume the
+        prefetched arrays + enumerate, OR dispatch ``gba_iters_per_chunk``
+        GN iterations, OR merge the result into the live map."""
+        p = self._pending_gba
+        if p is None:
+            return
+        from structure_plp_slam_tpu.models import global_ba
+
+        st = self._state
+        if (st.kf_pose.shape[0] != p["K"]
+                or st.lm_pos.shape[0] != p["L"]):
+            # Capacities grew mid-solve: snapshot shapes no longer match
+            # the live map — drop (rare; the next loop closure redoes it).
+            _log.info("deferred global BA dropped (map capacity grew)")
+            self._pending_gba = None
+            return
+        if p["phase"] == "fetch":
+            with self.timer.stage("gba.prepare"):
+                f = {k: np.asarray(v) for k, v in p["fetch"].items()}
+                data = global_ba.prepare_from_arrays(
+                    f["kf_valid"], f["kp_valid"], f["lm_idx"],
+                    f["lm_valid"], f["xy"], f["xr"], f["level"],
+                    np.asarray(self.frontend.inv_sigma_sq),
+                )
+                if data.num_obs < 100:
+                    self._pending_gba = None
+                    return
+                K = p["K"]
+                p["data"] = data
+                p["cam_fixed"] = jnp.asarray(np.arange(K) == p["anchor"])
+                p["carry"] = (p["snap_pose"], p["snap_lm"])
+                mesh = self.loop_closer.mesh
+                if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+                    p["aux"] = "mesh"
+                elif K > 512 and (K & (K - 1)) == 0:
+                    c1, c2, raw_of_comp = global_ba.prepare_chain_pairs(
+                        data, f["kf_valid"]
+                    )
+                    P = len(c1)
+                    P_pad = 1 << max(10, int(P).bit_length())
+                    c1 = np.concatenate([c1, np.full(P_pad - P, -1, np.int64)])
+                    c2 = np.concatenate([c2, np.full(P_pad - P, -1, np.int64)])
+                    p["aux"] = (
+                        jnp.asarray(c1, jnp.int32), jnp.asarray(c2, jnp.int32),
+                        jnp.asarray(raw_of_comp, jnp.int32),
+                    )
+                else:
+                    p["aux"] = None
+                p["chunks_left"] = self.gba_num_chunks
+                p["phase"] = "solve"
+            return
+        if p["phase"] == "solve":
+            with self.timer.stage("gba.chunk"):
+                cam_pose, lm_pos = p["carry"]
+                if p["aux"] == "mesh":
+                    shim = st._replace(
+                        kf_pose=cam_pose, lm_pos=lm_pos,
+                        kf_valid=p["snap_kf_valid"],
+                        lm_valid=p["snap_lm_valid"],
+                    )
+                    out = global_ba._run_global_ba_sharded(
+                        self.camera, shim, p["data"], p["cam_fixed"],
+                        self.loop_closer.mesh,
+                        self.gba_iters_per_chunk * self.gba_num_chunks,
+                    )
+                    p["carry"] = (out.kf_pose, out.lm_pos)
+                    p["chunks_left"] = 0
+                elif p["aux"] is not None:
+                    c1, c2, raw_of_comp = p["aux"]
+                    p["carry"] = global_ba.solve_pcg(
+                        self.camera, cam_pose, p["snap_kf_valid"],
+                        p["cam_fixed"], lm_pos, p["snap_lm_valid"],
+                        p["data"], c1, c2, raw_of_comp,
+                        num_iters=self.gba_iters_per_chunk,
+                    )
+                    p["chunks_left"] -= 1
+                else:
+                    p["carry"] = global_ba.solve(
+                        self.camera, cam_pose, p["snap_kf_valid"],
+                        p["cam_fixed"], lm_pos, p["snap_lm_valid"],
+                        p["data"], num_iters=self.gba_iters_per_chunk,
+                    )
+                    p["chunks_left"] -= 1
+                if p["chunks_left"] <= 0:
+                    p["phase"] = "adopt"
+            return
+        if p["phase"] == "adopt":
+            with self.timer.stage("gba.adopt"):
+                solved_pose, solved_lm = p["carry"]
+                ref = self.ref_kf
+                P_old_ref = st.kf_pose[ref]
+                self._state = _gba_adopt_step(
+                    st, solved_pose, solved_lm, p["snap_kf_valid"],
+                    p["snap_lm_valid"], jnp.int32(p["snap_next_kf"]),
+                )
+                if self.with_lines:
+                    # Full-map multi-view line polish against the merged
+                    # poses (lines rode reference-keyframe deltas through
+                    # the solve; the alternation refine re-fits them —
+                    # loop_bundle_adjuster.cc:110-145 corrects lines after
+                    # its BA the same way).
+                    from structure_plp_slam_tpu.models import line_ba
+
+                    self._state = line_ba.refine_lines(
+                        self.camera, self._state, num_iters=12
+                    )
+                P_new_ref = self._state.kf_pose[ref]
+                Rp, tp = self.pose
+                self.pose = _rebase_pose(Rp, tp, P_old_ref, P_new_ref)
+                self.vel = (
+                    jnp.eye(3, dtype=jnp.float32),
+                    jnp.zeros((3,), jnp.float32),
+                )
+                self._invalidate_map_cache()
+                _log.info("deferred global BA merged (anchor=%d)",
+                          p["anchor"])
+            self._pending_gba = None
+
+    def _finish_deferred_gba(self):
+        """Run a pending deferred BA to completion synchronously (drain
+        points: shutdown, public state reads, a new loop closure)."""
+        while self._pending_gba is not None:
+            self._advance_deferred_gba()
+
     def _grow(self, **kw):
         """Double selected map capacities in place (slot ids stable)."""
         from structure_plp_slam_tpu.data import map_database
 
+        # A deferred loop BA's snapshot would no longer match: merge it
+        # before the shapes change.
+        self._finish_deferred_gba()
         _log.info("growing map capacities: %s", ", ".join(sorted(kw)))
         self._state = map_database.grow(self._state, **kw)
         self.max_keyframes = self._state.kf_pose.shape[0]
@@ -517,6 +742,7 @@ class System:
         # Pending decisions refer to the map being destroyed; drop them.
         self._pending.clear()
         self._pending_loop = None
+        self._pending_gba = None
         self._dense_frames.clear()
         self._state = ms.create(
             self.max_keyframes, self.frontend.pad_to, self.max_landmarks
@@ -550,7 +776,10 @@ class System:
                 img, self._split_key() if self.with_lines else None, mask=mask
             )
         self._cur_seg_mask = seg_mask
-        self._last_image = np.asarray(img)
+        # Keep the caller's buffer as-is (np or device array): a forced
+        # np.asarray here would SYNC + copy a device-resident image back
+        # over the wire every frame; viewers materialize it on poll.
+        self._last_image = img
         return self._track(feats, timestamp)
 
     def feed_RGBD_frame(self, img, depthmap, timestamp: float, mask=None,
@@ -571,7 +800,7 @@ class System:
             )
         else:
             self._cur_dense = None
-        self._last_image = np.asarray(img)
+        self._last_image = img  # as-is; see feed_monocular_frame
         return self._track(feats, timestamp)
 
     def feed_stereo_frame(self, img_left, img_right, timestamp: float,
@@ -582,7 +811,7 @@ class System:
                 self._split_key() if self.with_lines else None, mask=mask,
             )
         self._cur_seg_mask = seg_mask
-        self._last_image = np.asarray(img_left)
+        self._last_image = img_left  # as-is; see feed_monocular_frame
         return self._track(feats, timestamp)
 
     # ------------------------------------------------------------------
@@ -655,6 +884,10 @@ class System:
             dense=getattr(self, "_cur_dense", None),
         )
         self._pending.append(entry)
+        # One bounded chunk of any in-flight post-loop global BA rides
+        # along with this frame (the reference's 4th-thread loop BA;
+        # chunking bounds the per-frame latency on one chip).
+        self._advance_deferred_gba()
         cur_ok = True
         while len(self._pending) > self.track_lag:
             oldest = self._pending.popleft()
@@ -979,11 +1212,19 @@ class System:
                 check_3x3=self.planar.check_3x3_window,
             )
             scale = mapper.map_scale(st, slot)
+            # Two-view monocular clouds carry triangulation depth noise of
+            # several percent of the map scale (sigma_z/z ~ z*sigma_px/
+            # (b*f)) — an order above depth-sensor noise — so the init
+            # fit runs with relaxed gates and the created planes are
+            # flagged for multi-view refresh (detect_planes docstring).
+            mono = self.camera.setup is CameraSetup.MONOCULAR
             st, n_pl = planar_mapper.detect_planes(
                 st, slot, labels, self.next_plane, self._split_key(), scale,
                 max_instances=self.planar.max_instances,
                 coherent=self.use_graph_cut,
                 params=self.planar,
+                thr_mult=5.0 if mono else 1.0,
+                ratio_override=0.45 if mono else None,
             )
             self.next_plane = self.next_plane + n_pl
         self._state = st
@@ -1017,9 +1258,16 @@ class System:
         self.next_kf += 1
         self.frames_since_kf = 0
 
+        # The [K, L] observation indicator is a ~5 ms TPU scatter to
+        # build; compute it ONCE here (post-insert) and thread it through
+        # the chain stages (covisibility, culling, fuse, BA window,
+        # landmark statistics) — the reference's covisibility graph also
+        # updates once per keyframe (graph_node.cc:92).
+        ind = ms.observation_indicator(st)
+
         # Landmark culling for recent landmarks.
         with self.timer.stage("kf.cull_lm", sync_on=lambda: st):
-            st, _ = mapper.cull_landmarks(st, slot)
+            st, _ = mapper.cull_landmarks(st, slot, ind=ind)
 
         # Two-view triangulation with top covisible neighbors — all setups:
         # depth-seeded maps still gain far points beyond the depth range
@@ -1028,7 +1276,7 @@ class System:
         # inside the jit.
         with self.timer.stage("kf.triangulate", sync_on=lambda: st):
             st, n_tri = mapper.triangulate_with_neighbors(
-                self.camera, st, slot, next_lm,
+                self.camera, st, slot, next_lm, ind,
                 num_neighbors=self.num_tri_neighbors,
             )
         next_lm = next_lm + n_tri
@@ -1076,8 +1324,13 @@ class System:
         # Fuse duplicates with the local map.
         with self.timer.stage("kf.fuse", sync_on=lambda: st):
             kf_mask = jnp.zeros((self.max_keyframes,), bool).at[slot].set(True)
-            lm_local = ms.local_landmark_mask(st, kf_mask)
-            st, _ = mapper.fuse_into_keyframe(self.camera, st, slot, lm_local)
+            lm_local = ms.local_landmark_mask(st, kf_mask, ind)
+            st, _ = mapper.fuse_into_keyframe(
+                self.camera, st, slot, lm_local, ind=ind
+            )
+        # Fuse rewires associations; refresh the shared indicator once for
+        # the BA window / statistics / detection stages.
+        ind = ms.observation_indicator(st)
 
         # Plane landmarks from instance segmentation (reference:
         # Planar_Mapping_module::process_new_kf, mapping_module.cc:242-248).
@@ -1107,38 +1360,46 @@ class System:
                     st, scale, params=self.planar
                 )
 
-        # Local BA.
+        # Local BA — JOINT point+line when lines are on (reference:
+        # local_bundle_adjuster_extended_line.cc puts line reprojection
+        # edges in the same graph; window lines are 4-DoF orthonormal BA
+        # variables eliminated alongside the points).
         if self.next_kf >= 3:
+            if self.with_lines:
+                from structure_plp_slam_tpu.models import line_mapper
+
+                # Depth-anchored rebase first (RGB-D/stereo lines).
+                st = line_mapper.refresh_lines(self.camera, st)
             with self.timer.stage("local_ba", sync_on=lambda: st):
                 st, _ = mapper.local_ba(
-                    self.camera, st, slot, self.frontend.inv_sigma_sq
+                    self.camera, st, slot, self.frontend.inv_sigma_sq,
+                    with_lines=self.with_lines, ind=ind,
                 )
-            if self.with_lines:
-                from structure_plp_slam_tpu.models import line_ba, line_mapper
-
-                # Depth-anchored rebase (RGB-D/stereo lines), then the
-                # orthonormal 4-DoF multi-view GN polish that covers
-                # monocular lines too (reference optimizes line vertices
-                # inside BA, local_bundle_adjuster_extended_line.cc:69-).
-                st = line_mapper.refresh_lines(self.camera, st)
-                st = line_ba.refine_lines(self.camera, st)
         # Keyframe culling. (The retrieval index is stateless over the
         # MapState, so culled slots drop out of scoring via kf_valid with
         # no eviction bookkeeping.)
         if self.next_kf >= 5:
             with self.timer.stage("kf.cull_kf", sync_on=lambda: st):
-                st, _ = mapper.cull_keyframes(st, slot)
+                st, _ = mapper.cull_keyframes(st, slot, ind=ind)
 
         # Refresh landmark statistics over current observers: mean viewing
         # direction, ORB scale bounds, and the median-Hamming representative
         # descriptor (reference: landmark::update_normal_and_depth +
         # landmark::compute_descriptor, data/landmark.h:99-110).
+        # Full statistics (sorted obs compaction + median-Hamming pick)
+        # every OTHER keyframe; the cheap indicator-matmul normal refresh
+        # in between (the reference updates per landmark on observation
+        # change; batching at keyframe granularity is this design's
+        # equivalent, and the descriptor/bounds drift slowly).
         with self.timer.stage("kf.normals", sync_on=lambda: st):
-            st = mapper.refresh_landmark_stats(
-                st,
-                scale_factor=self.frontend.extractor.params.scale_factor,
-                num_levels=self.frontend.extractor.params.num_levels,
-            )
+            if slot % 2 == 0:
+                st = mapper.refresh_landmark_stats(
+                    st, ind,
+                    scale_factor=self.frontend.extractor.params.scale_factor,
+                    num_levels=self.frontend.extractor.params.num_levels,
+                )
+            else:
+                st = mapper.update_landmark_normals(st, ind)
 
         if entry.dense is not None:
             self._dense_frames[slot] = entry.dense
@@ -1168,7 +1429,7 @@ class System:
         # feed path never waits on the fetch RPC.
         if self.enable_loop_closing and self.next_kf >= 8:
             self._pending_loop = (
-                slot, self.loop_closer.detect_dispatch(self._state, slot)
+                slot, self.loop_closer.detect_dispatch(self._state, slot, ind)
             )
 
     # ------------------------------------------------------------------

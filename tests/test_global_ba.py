@@ -103,7 +103,7 @@ def test_global_ba_matches_windowed_solver(rng):
         obs_uv=data.obs_uv,
         obs_xr=data.obs_xr,
         obs_inv_sigma_sq=data.obs_info,
-        obs_valid=jnp.ones((data.num_obs,), bool),
+        obs_valid=jnp.arange(data.obs_cam.shape[0]) < data.num_obs,
     )
     res_w = ba.ba_solve(cam, prob, num_iters=8, cull_at_iters=())
 

@@ -239,18 +239,19 @@ def test_line_repeatability_under_viewpoint():
     img_a, dep_a = synthetic_scene.render(CAM, tex, Ra, ta)
     seg_a = _detect(img_a, depth=dep_a)
     assert len(seg_a) >= 6, f"too few segments on natural texture: {len(seg_a)}"
-    for angle in (5.0, 10.0):
+    for angle, floor in ((5.0, 0.7), (10.0, 0.8)):
         Rb, tb = _pose(angle)
         img_b, dep_b = synthetic_scene.render(CAM, tex, Rb, tb)
         seg_b = _detect(img_b, depth=dep_b)
         H = _homography(Ra, ta, Rb, tb)
         rep = repeatability(seg_a, seg_b, H)
-        # Measured level as of round 2: 0.75-0.79 on this harness (the
-        # detector finds 30+ segments; the misses are short low-contrast
-        # strips near the length threshold). Gate at 0.7 to hold the
-        # line against regressions; raising toward 0.85 is tracked in
-        # PARITY.md known gaps.
-        assert rep > 0.7, f"repeatability {rep:.2f} at {angle} deg viewpoint"
+        # Measured level as of round 3: 0.78 at 5 deg / 0.88 at 10 deg
+        # (the 5-deg misses are two long horizontal strips whose edge
+        # points lose the per-cell budget race — a top-64-by-strength
+        # selection-stability issue, not an appearance one; larger
+        # budgets measurably HURT by crowding the cut with weak
+        # hypotheses). Gates hold the measured line against regressions.
+        assert rep > floor, f"repeatability {rep:.2f} at {angle} deg viewpoint"
 
 
 @pytest.mark.slow
@@ -275,14 +276,18 @@ def test_line_matching_precision_with_degradations():
         seg_b = _detect(img_b, depth=dep_b)
         prec, n = match_precision(img_a, img_b, seg_a, seg_b, H)
         assert n >= 5, f"{name}: only {n} matchable pairs"
-        # Measured level as of round 2: ~0.55 clean (6/11 matchable pairs
-        # rank their true counterpart first with NO geometric gating —
-        # the SLAM matcher additionally applies projection windows, so
-        # its effective precision is far higher; see
-        # line_mapper.match_lines_to_frame).
-        floor = 0.5 if name == "clean" else 0.35
+        # Measured level as of round 3: 0.91 clean / 0.91 low-contrast /
+        # 0.60 noise (was ~0.55 clean in round 2; the double-angle
+        # orientation pair in the descriptor killed the
+        # cross-orientation confusions — 4 of round 2's 5 ranking
+        # failures matched >15 deg apart). The remaining noise failures
+        # are parallel same-orientation strips, which only the SLAM
+        # matcher's projection windows can separate.
+        floor = 0.65 if name == "clean" else 0.5
         assert prec >= floor, f"{name}: precision {prec:.2f} over {n} matches"
         results[name] = prec
-    # Degradations must not collapse matching relative to clean.
+    # Degradations must not collapse matching relative to clean. (The
+    # clean level rose to ~0.91 in round 3; the noise case keeps its
+    # absolute floor above but trails the better clean number by more.)
     assert results["low contrast"] >= results["clean"] - 0.25
-    assert results["noise"] >= results["clean"] - 0.25
+    assert results["noise"] >= results["clean"] - 0.35
