@@ -672,7 +672,7 @@ class System:
                     st, solved_pose, solved_lm, p["snap_kf_valid"],
                     p["snap_lm_valid"], jnp.int32(p["snap_next_kf"]),
                 )
-                if self.with_lines:
+                if getattr(self, "with_lines", False):
                     # Full-map multi-view line polish against the merged
                     # poses (lines rode reference-keyframe deltas through
                     # the solve; the alternation refine re-fits them —

@@ -16,7 +16,7 @@ from structure_plp_slam_tpu.system import System
 from tests.test_global_ba import _make_state
 
 
-def _system_with_state(cam, state, next_kf):
+def _system_with_state(cam, state, next_kf, with_lines=False):
     cfg = Config(camera=cam, orb=OrbParams(max_num_keypts=256, num_levels=4),
                  raw={})
     slam = System.__new__(System)  # bare instance: we drive internals only
@@ -24,6 +24,7 @@ def _system_with_state(cam, state, next_kf):
     slam._state = state
     slam.next_kf = next_kf
     slam.ref_kf = 0
+    slam.with_lines = with_lines
     slam.pose = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
     slam.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
     slam._pending_gba = None
@@ -75,6 +76,59 @@ def test_deferred_gba_matches_synchronous(rng):
         np.asarray(slam._state.kf_pose)[kf_valid],
         np.asarray(sync.kf_pose)[kf_valid], atol=5e-3,
     )
+
+
+def test_deferred_gba_with_lines_refines_in_adopt(rng):
+    """with_lines=True systems run the full-map line polish in the adopt
+    phase (system.py adopt branch; loop_bundle_adjuster.cc:110-145 corrects
+    lines after its BA the same way). A line observed by two keyframes must
+    survive the merge and land near its true geometry."""
+    cam, state, poses_gt, pts = _make_state(rng, K=6, M=150)
+    table = np.ones(8, np.float32)
+
+    # One 3D line observed by keyframes 0 and 1: endpoints in world space,
+    # segments = their projections.
+    p1 = np.array([-0.5, -0.2, 7.0], np.float32)
+    p2 = np.array([0.7, 0.4, 7.5], np.float32)
+    d = p2 - p1
+    d = d / np.linalg.norm(d)
+    m = np.cross(p1, d)
+    segs = []
+    for c in (0, 1):
+        R, t = poses_gt[c]
+        uv = []
+        for p in (p1, p2):
+            pc = R @ p + t
+            uv += [cam.fx * pc[0] / pc[2] + cam.cx,
+                   cam.fy * pc[1] / pc[2] + cam.cy]
+        segs.append(np.asarray(uv, np.float32))
+    st = state._replace(
+        ln_pluck=state.ln_pluck.at[0].set(
+            jnp.asarray(np.concatenate([m, d]), jnp.float32)),
+        ln_endpoints=state.ln_endpoints.at[0].set(
+            jnp.asarray(np.concatenate([p1, p2]), jnp.float32)),
+        ln_valid=state.ln_valid.at[0].set(True),
+        ln_ref_kf=state.ln_ref_kf.at[0].set(0),
+        kf_seg=state.kf_seg.at[0, 0].set(jnp.asarray(segs[0]))
+                        .at[1, 0].set(jnp.asarray(segs[1])),
+        kf_seg_valid=state.kf_seg_valid.at[0, 0].set(True)
+                                       .at[1, 0].set(True),
+        kf_line_idx=state.kf_line_idx.at[0, 0].set(0).at[1, 0].set(0),
+    )
+
+    slam = _system_with_state(cam, st, next_kf=6, with_lines=True)
+    slam._start_deferred_gba(anchor_kf=0)
+    while slam._pending_gba is not None:
+        slam._advance_deferred_gba()
+
+    out = slam._state
+    assert bool(out.ln_valid[0])
+    ep = np.asarray(out.ln_endpoints[0])
+    # Direction must agree with ground truth (endpoints may slide along
+    # the line; the direction is the invariant).
+    d_out = ep[3:] - ep[:3]
+    d_out = d_out / (np.linalg.norm(d_out) + 1e-12)
+    assert abs(float(np.dot(d_out, d))) > 0.99
 
 
 def test_deferred_gba_propagates_to_midsolve_keyframe(rng):
