@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from structure_plp_slam_tpu.camera import base as cam_base
 from structure_plp_slam_tpu.ops import lie, robust
+from structure_plp_slam_tpu.ops import linalg as linalg_ops
 
 
 class BAProblem(NamedTuple):
@@ -414,6 +415,12 @@ def ba_solve(
 
         S_dense = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
         rhs_dense = rhs.reshape(6 * C)
+        # Cholesky, deliberately: an approximate matmul-chain solve
+        # (ops/linalg.spd_solve) was tried here and reverted — the JOINT
+        # point+line windows produce S systems where its percent-level
+        # error breaks the line-BA trust gates (the loop-healing e2e
+        # regressed), and inside the compiled scan the factorization's
+        # kernel latency is amortized anyway.
         L_chol, low = jax.scipy.linalg.cho_factor(S_dense, lower=True)
         dx_c = jax.scipy.linalg.cho_solve((L_chol, low), rhs_dense).reshape(C, 6)
 

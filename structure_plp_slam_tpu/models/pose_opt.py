@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from structure_plp_slam_tpu.camera import base as cam_base
 from structure_plp_slam_tpu.ops import lie, robust
+from structure_plp_slam_tpu.ops import linalg as linalg_ops
 
 
 class PoseOptResult(NamedTuple):
@@ -153,7 +154,10 @@ def optimize_pose(
                 + jnp.einsum("ni,n->i", J3r * w_st[:, None], r_xr)
             )
             H_lm = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-6))
-            xi = jnp.linalg.solve(H_lm, b)
+            # Closed-form equilibrated 6x6 solve: jnp.linalg.solve's LU
+            # kernel is latency-bound on TPU and ran once per LM
+            # iteration inside the per-frame track step (ops/linalg.py).
+            xi = linalg_ops.solve6_spd(H_lm, b)
             ok = jnp.all(jnp.isfinite(xi))
             xi = jnp.where(ok, lie.clamp_tangent(xi), 0.0)
             R_new, t_new = lie.se3_update(R, t, xi)

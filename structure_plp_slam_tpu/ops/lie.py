@@ -24,6 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from structure_plp_slam_tpu.ops import linalg as _linalg
+
 _EPS = 1e-8
 
 
@@ -129,7 +131,9 @@ def se3_log(R, t):
     """se(3) log: ``(R, t) -> [..., 6]``."""
     phi = so3_log(R)
     J = so3_left_jacobian(phi)
-    rho = jnp.linalg.solve(J, t[..., None])[..., 0]
+    # Adjugate 3x3 solve: the batched LU kernel is latency-bound on TPU
+    # and the left Jacobian is well-conditioned near identity.
+    rho = _linalg.solve3(J, t)
     return jnp.concatenate([rho, phi], axis=-1)
 
 
@@ -297,7 +301,7 @@ def sim3_log(R, t, s):
     C = jnp.where(sig_small, C_sig0, jnp.where(th_small, C_th0, C_generic))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), K.shape)
     W = A[..., None, None] * eye + B[..., None, None] * K + C[..., None, None] * K2
-    rho = jnp.linalg.solve(W, t[..., None])[..., 0]
+    rho = _linalg.solve3(W, t)  # see se3_log: adjugate beats batched LU
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
 
 

@@ -27,6 +27,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from structure_plp_slam_tpu.ops import linalg as _linalg
+
 from structure_plp_slam_tpu.ops import triangulation
 
 
@@ -154,7 +156,7 @@ def homography_4pt(p1, p2):
     A = jnp.concatenate([r1, r2], axis=-2)  # [S, 8, 9]
     _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
     Hn = Vt[..., -1, :].reshape(*p1.shape[:-2], 3, 3)
-    T2_inv = jnp.linalg.inv(T2)
+    T2_inv = _linalg.inv3x3(T2)  # adjugate: batched LU is latency-bound
     H = T2_inv @ Hn @ T1
     return H / jnp.where(jnp.abs(H[..., 2:3, 2:3]) < 1e-12, 1e-12, H[..., 2:3, 2:3])
 
@@ -168,7 +170,7 @@ def homography_transfer_error(H, p1, p2):
         w = jnp.where(jnp.abs(Hp[..., 2:3]) < 1e-9, 1e-9, Hp[..., 2:3])
         return jnp.sum((Hp[..., :2] / w - q) ** 2, axis=-1)
 
-    H_inv = jnp.linalg.inv(H)
+    H_inv = _linalg.inv3x3(H)
     return fwd(H, p1, p2) + fwd(H_inv, p2, p1)
 
 
@@ -199,7 +201,7 @@ def decompose_homography(H, K):
     Scale of t is arbitrary (normalized); plane normal candidates are not
     returned (cheirality selection does not need them).
     """
-    K_inv = jnp.linalg.inv(K)
+    K_inv = _linalg.inv3x3(K)
     A = K_inv @ H @ K
     U, S, Vt = jnp.linalg.svd(A)
     s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
