@@ -173,6 +173,42 @@ def observation_indicator(state: MapState):
     return ind
 
 
+def indicator_update_rows(ind, state: MapState, rows):
+    """Recompute only the given keyframe ROWS of an observation indicator
+    and re-apply the global validity masks.
+
+    The full ``observation_indicator`` build is a ~5 ms [K, L] scatter on
+    TPU; each keyframe-chain stage only rewires a handful of rows
+    (insert: the new slot; triangulation: slot + its neighbors; local BA
+    outlier detach: the window cameras), while landmark/keyframe culls
+    only SHRINK the validity masks — an elementwise multiply. O(R * N)
+    scatter + one masked multiply instead of four full rebuilds per
+    keyframe. Fuse still needs a full rebuild (its duplicate merge remaps
+    landmark ids across ALL rows)."""
+    K, N = state.kf_lm_idx.shape
+    L = state.lm_pos.shape[0]
+    rows = jnp.asarray(rows, jnp.int32).reshape(-1)
+    rows_safe = jnp.clip(rows, 0, K - 1)
+    lm = state.kf_lm_idx[rows_safe]                       # [R, N]
+    ok = (
+        (lm >= 0)
+        & state.kf_kp_valid[rows_safe]
+        & state.kf_valid[rows_safe][:, None]
+    )
+    lm_safe = jnp.where(ok, lm, L)
+    R = rows.shape[0]
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, N), 0)
+    row_ind = jnp.zeros((R, L + 1), jnp.float32).at[r_iota, lm_safe].max(
+        1.0
+    )[:, :L]
+    ind = ind.at[rows_safe].set(row_ind)
+    return (
+        ind
+        * state.lm_valid[None, :].astype(jnp.float32)
+        * state.kf_valid[:, None].astype(jnp.float32)
+    )
+
+
 @jax.jit
 def covisibility_matrix(state: MapState, ind=None):
     """``[K, K]`` i32 shared-landmark counts (diag = own landmark count).

@@ -220,10 +220,12 @@ def triangulate_pair(
     return state, jnp.sum(good.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "num_neighbors"))
+@functools.partial(
+    jax.jit, static_argnames=("camera", "num_neighbors", "return_neighbors")
+)
 def triangulate_with_neighbors(
     camera, state: ms.MapState, slot, base_lm_slot, ind=None, *,
-    num_neighbors: int = 2
+    num_neighbors: int = 2, return_neighbors: bool = False
 ):
     """Triangulate new landmarks with the top covisible neighbors of
     ``slot`` — neighbor SELECTION happens on device (covisibility top-k,
@@ -243,6 +245,10 @@ def triangulate_with_neighbors(
             camera, state, slot, nbs[i], next_lm, enable=w_top[i] >= 15
         )
         next_lm = next_lm + n_new
+    if return_neighbors:
+        # Rows whose kf_lm_idx this call may have rewritten (slot + the
+        # chosen neighbors) — for incremental indicator maintenance.
+        return state, next_lm - base_lm_slot, nbs
     return state, next_lm - base_lm_slot
 
 
@@ -563,7 +569,7 @@ def cull_keyframes(state: ms.MapState, protect_kf, ind=None):
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "max_opt", "max_fix", "max_lms",
-                     "with_lines", "max_lines"),
+                     "with_lines", "max_lines", "return_cams"),
 )
 def local_ba(
     camera,
@@ -577,6 +583,7 @@ def local_ba(
     with_lines: bool = False,
     max_lines: int = 128,
     ind=None,
+    return_cams: bool = False,
 ):
     """Local bundle adjustment around ``current_kf``.
 
@@ -714,7 +721,14 @@ def local_ba(
             lobs_cam=lobs_cam,
             lobs_line=lobs_line_c,
             lobs_seg=state.kf_seg[cams].reshape(-1, 4),
-            lobs_inv_sigma_sq=jnp.ones((C * MLs,), jnp.float32),
+            # Line detection is single-scale here (full-resolution LSD;
+            # ops/lines.py), so every segment carries octave-0 information
+            # — the reference's per-octave sigma weighting
+            # (local_bundle_adjuster_extended_line) degenerates to the
+            # level-0 entry of the same table the point terms use.
+            lobs_inv_sigma_sq=jnp.full(
+                (C * MLs,), inv_sigma_sq_table[0], jnp.float32
+            ),
             lobs_valid=lobs_ok.reshape(-1),
         )
     # 10 damped-GN iterations with the outlier cull after 4 (reference:
@@ -800,4 +814,8 @@ def local_ba(
         lm_mask=jnp.zeros_like(state.lm_valid),
         ln_mask=state.ln_valid & ~ln_updated,
     )
+    if return_cams:
+        # The window cameras whose kf_lm_idx rows the outlier detach may
+        # have rewritten — for incremental indicator maintenance.
+        return state, result.chi2, cams
     return state, result.chi2

@@ -281,6 +281,203 @@ def _gba_adopt_step(state, solved_pose, solved_lm, snap_kf_valid,
     return state
 
 
+@jax.jit
+def _loopfix_adopt(state, R_opt, t_opt, s_opt, snap_next_kf):
+    """Apply a loop correction + pose-graph result to the CURRENT map.
+
+    ``R_opt/t_opt/s_opt`` are the graph-optimized Sim3 poses of every
+    keyframe that existed at the fix's prefetch snapshot
+    (``slot < snap_next_kf``); keyframes inserted while the fix was in
+    flight ride the newest snapshot keyframe's SE3 delta (the
+    _gba_adopt_step propagation; reference: loop_bundle_adjuster.cc
+    :110-145 corrects mid-solve keyframes through their spanning-tree
+    parents). Landmarks, lines and planes ride their reference
+    keyframes' Sim3 deltas from the CURRENT poses (keeping each
+    structure's keyframe-relative geometry bit-exact through the jump).
+    """
+    from structure_plp_slam_tpu.models import pose_graph as pg
+
+    K = state.kf_pose.shape[0]
+    old = state.kf_pose
+    existed = jnp.arange(K) < snap_next_kf
+    s_safe = jnp.maximum(s_opt, 1e-12)
+    new_se3 = jnp.concatenate(
+        [R_opt, (t_opt / s_safe[:, None])[:, :, None]], axis=2
+    )
+    last = jnp.clip(snap_next_kf - 1, 0, K - 1)
+    Rc, tc = old[last, :, :3], old[last, :, 3]
+    Rn, tn = new_se3[last, :, :3], new_se3[last, :, 3]
+    Rm = Rc.T @ Rn
+    tm = Rc.T @ (tn - tc)
+    R_child = jnp.einsum("kij,jl->kil", old[:, :, :3], Rm)
+    t_child = jnp.einsum("kij,j->ki", old[:, :, :3], tm) + old[:, :, 3]
+    child = jnp.concatenate([R_child, t_child[:, :, None]], axis=2)
+    adopted = jnp.where(existed[:, None, None], new_se3, child)
+    # Structures ride ref-keyframe Sim3 deltas: old (current, scale 1)
+    # -> adopted with the graph's per-keyframe scale for snapshot-era
+    # keyframes (children's deltas are SE3).
+    s_full = jnp.where(existed, s_opt, 1.0)
+    adopted_sim3_t = jnp.where(
+        existed[:, None], t_opt, adopted[:, :, 3]
+    )
+    adopted_sim3_R = jnp.where(
+        existed[:, None, None], R_opt, adopted[:, :, :3]
+    )
+    ones = jnp.ones((K,), jnp.float32)
+    state = pg.correct_map_structures(
+        state, old[:, :, :3], old[:, :, 3], ones,
+        adopted_sim3_R, adopted_sim3_t, s_full,
+    )
+    return state._replace(kf_pose=adopted)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "camera", "with_lines", "has_seg", "has_seg_lines", "do_ba",
+        "do_cull_kf", "stats_full", "do_detect", "two_view_lines",
+        "num_tri_neighbors", "planar", "use_graph_cut", "scale_factor",
+        "num_levels", "bow_max_hamming", "bow_chunk",
+    ),
+)
+def _kf_chain(camera, st, slot, pose, ts, feats, kp_lm, next_lm, seg_mask,
+              seg_line_idx, key, next_plane, next_line, inv_sigma_sq, ind0,
+              *, with_lines, has_seg, has_seg_lines, do_ba, do_cull_kf,
+              stats_full, do_detect, two_view_lines, num_tri_neighbors,
+              planar, use_graph_cut, scale_factor, num_levels,
+              bow_max_hamming, bow_chunk):
+    """The ENTIRE keyframe processing chain as ONE jitted dispatch
+    (reference mapping thread, mapping_module.cc:193-285, plus the
+    loop-detection compute of global_optimization_module.cc).
+
+    Rationale: the chain was previously ~12 separate jitted dispatches
+    with eager glue; on a tunnel-attached TPU each dispatch carries RPC
+    overhead that inflates 5-10x whenever the tunnel degrades (measured:
+    per-dispatch cost swinging 0.1 ms -> ~30 ms). One dispatch makes the
+    keyframe cost tunnel-invariant and lets XLA fuse across stage
+    boundaries. Stage set matches System._insert_keyframe's previous
+    eager sequence exactly; per-stage timings live in
+    tools/prof_device.py which calls the stage functions directly.
+    """
+    from structure_plp_slam_tpu.data import bow as bow_mod
+    from structure_plp_slam_tpu.models import planar_mapper
+
+    K = st.kf_pose.shape[0]
+    st, created = mapper.insert_keyframe(
+        camera, st, slot, pose, ts, feats, kp_lm, next_lm
+    )
+    next_lm = next_lm + created
+    # Incremental indicator maintenance: ``ind0`` (the caller's cached
+    # post-previous-chain indicator) is patched per stage instead of
+    # rebuilt (each full [K, L] rebuild is a ~5 ms TPU scatter; only
+    # fuse's global duplicate remap still needs one).
+    ind = ms.indicator_update_rows(ind0, st, jnp.stack([slot]))
+    st, _ = mapper.cull_landmarks(st, slot, ind=ind)
+    ind = ind * st.lm_valid[None, :].astype(jnp.float32)
+    st, n_tri, tri_nbs = mapper.triangulate_with_neighbors(
+        camera, st, slot, next_lm, ind, num_neighbors=num_tri_neighbors,
+        return_neighbors=True,
+    )
+    next_lm = next_lm + n_tri
+
+    if with_lines:
+        from structure_plp_slam_tpu.models import line_mapper
+
+        if has_seg_lines:
+            st = st._replace(
+                kf_line_idx=st.kf_line_idx.at[slot].set(seg_line_idx)
+            )
+        st, n_depth = line_mapper.lines_from_depth(camera, st, slot,
+                                                   next_line)
+        next_line = next_line + n_depth
+        st, n_pts = line_mapper.lines_from_points(camera, st, slot,
+                                                  next_line)
+        next_line = next_line + n_pts
+        if two_view_lines:
+            st, n_two = line_mapper.triangulate_lines_with_neighbors(
+                camera, st, slot, next_line
+            )
+            next_line = next_line + n_two
+        st, _ = line_mapper.cull_lines(st, slot)
+
+    # Refresh the rows triangulation rewired (slot + chosen neighbors) so
+    # this keyframe's new landmarks participate in duplicate fusion
+    # (previously fuse saw the pre-triangulation indicator and skipped
+    # them).
+    ind = ms.indicator_update_rows(
+        ind, st, jnp.concatenate([jnp.stack([slot]), tri_nbs])
+    )
+    kf_mask = jnp.zeros((K,), bool).at[slot].set(True)
+    lm_local = ms.local_landmark_mask(st, kf_mask, ind)
+    st, _ = mapper.fuse_into_keyframe(camera, st, slot, lm_local, ind=ind)
+    ind = ms.observation_indicator(st)
+
+    if has_seg:
+        labels = planar_mapper.label_keypoints(
+            seg_mask.astype(jnp.int32), feats["xy"], feats["valid"],
+            check_3x3=planar.check_3x3_window,
+        )
+        scale = mapper.map_scale(st, slot)
+        st, n_pl = planar_mapper.detect_planes(
+            st, slot, labels, next_plane, key, scale,
+            max_instances=planar.max_instances, coherent=use_graph_cut,
+            params=planar,
+        )
+        next_plane = next_plane + n_pl
+        st, _ = planar_mapper.merge_planes(st, scale, params=planar)
+        st = planar_mapper.refine_planes(st, scale, params=planar)
+        st = planar_mapper.snap_points_to_planes(st, scale, params=planar)
+
+    if do_ba:
+        if with_lines:
+            from structure_plp_slam_tpu.models import line_mapper
+
+            st = line_mapper.refresh_lines(camera, st)
+        st, _, ba_cams = mapper.local_ba(
+            camera, st, slot, inv_sigma_sq, with_lines=with_lines, ind=ind,
+            return_cams=True,
+        )
+        # BA's outlier detach rewrote the window cameras' rows;
+        # statistics, loop detection and the returned tracking indicator
+        # must see the post-mutation associations.
+        ind = ms.indicator_update_rows(ind, st, ba_cams)
+    if do_cull_kf:
+        st, _ = mapper.cull_keyframes(st, slot, ind=ind)
+        ind = ind * st.kf_valid[:, None].astype(jnp.float32)
+
+    if stats_full:
+        st = mapper.refresh_landmark_stats(
+            st, ind, scale_factor=scale_factor, num_levels=num_levels
+        )
+    else:
+        st = mapper.update_landmark_normals(st, ind)
+
+    if do_detect:
+        cov = ms.covisibility_matrix(st, ind)
+        scores = bow_mod._scores_impl(
+            st.kf_desc, st.kf_kp_valid, st.kf_valid,
+            st.kf_desc[slot], st.kf_kp_valid[slot],
+            max_hamming=bow_max_hamming, chunk=bow_chunk,
+        )
+        packed = loop_mod._pack_detect_arrays(cov, slot, scores,
+                                              st.kf_valid)
+    else:
+        cov = jnp.zeros((0, 0), jnp.float32)
+        packed = jnp.zeros((0, 3), jnp.float32)
+    return st, next_lm, next_plane, next_line, ind, packed, cov
+
+
+def _keep_image(img):
+    """Retain a fed image for viewers/publishers. Host numpy inputs are
+    COPIED: dataset readers commonly decode into a reused buffer, and a
+    viewer polling later would render a torn/later frame through the
+    alias. Device arrays are kept as-is — np.asarray here would sync +
+    pull the image back over the wire every frame."""
+    if isinstance(img, np.ndarray):
+        return np.array(img, copy=True)
+    return img
+
+
 @dataclasses.dataclass
 class _PendingFrame:
     """A fed frame whose host-side decisions (lost check, keyframe
@@ -354,6 +551,9 @@ class System:
         # Deferred loop detection: (kf, packed device array) dispatched at
         # a keyframe, consumed at the next one (or at drain points).
         self._pending_loop = None
+        # In-flight loop FIX (validate -> correct phases advanced one per
+        # frame; see _advance_pending_fix).
+        self._pending_fix: Optional[dict] = None
         # Deferred post-loop global BA (the reference's 4th-thread loop BA,
         # loop_bundle_adjuster.cc:68-145): the full-map solve is chunked
         # into per-frame dispatches so a loop closure never stalls the
@@ -491,15 +691,19 @@ class System:
             self._consume(self._pending.popleft())
         if getattr(self, "_pending_loop", None) is not None:
             self._consume_pending_loop()
+        while getattr(self, "_pending_fix", None) is not None:
+            self._advance_pending_fix()
         self._finish_deferred_gba()
 
     def _consume_pending_loop(self, res=None):
         """Consume a deferred loop detection (dispatched at the previous
-        keyframe): gate on the fetched scores, validate the Sim3, correct
-        the map, and rebase the tracker's recurrent pose (and ``res``, the
-        about-to-be-inserted keyframe's track result, if given) through
-        the corrected keyframe's delta. Returns ``res`` (possibly rebased).
-        """
+        keyframe): gate on the fetched scores and, on a candidate,
+        DISPATCH the Sim3 validation — the validation result, the map
+        correction and the pose graph all run in later frames' phases
+        (:meth:`_advance_pending_fix`), so a firing loop never stalls the
+        feed (reference: global_optimization_module.cc:90-296 does all of
+        this on the loop thread). Returns ``res`` unchanged (corrections
+        now land between frames and rebase the tracker pose there)."""
         pend = self._pending_loop
         self._pending_loop = None
         if pend is None:
@@ -511,40 +715,165 @@ class System:
             cand = self.loop_closer.detect_consume(packed, kf_cur)
         if cand is None:
             return res
-        val = self.loop_closer.validate(
-            self._state, kf_cur, cand, self._split_key()
-        )
-        if val is None:
-            return res
-        R21, t21, s21 = val
-        _log.info("loop closure: keyframe %d -> %d (s=%.3f)",
-                  kf_cur, cand, float(s21))
-        # A still-running deferred BA from a previous loop merges first
-        # (its snapshot predates this correction).
-        self._finish_deferred_gba()
-        P_old = self._state.kf_pose[kf_cur]
-        with self.timer.stage("loop_correct"):
-            self._state = self.loop_closer.correct(
-                self._state, kf_cur, cand, R21, t21, s21,
-                self.frontend.inv_sigma_sq,
-                run_global_ba=not self.async_loop_ba,
-            )
-        if self.async_loop_ba:
-            self._start_deferred_gba(anchor_kf=cand)
-        P_new = self._state.kf_pose[kf_cur]
-        # Tracking continues from the corrected geometry: transport the
-        # recurrent pose through the loop keyframe's correction. The
-        # motion model resets (a Sim3 correction can rescale translation).
-        Rp, tp = self.pose
-        self.pose = _rebase_pose(Rp, tp, P_old, P_new)
-        self.vel = (
-            jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32)
-        )
-        if res is not None:
-            R2, t2 = _rebase_pose(res.R, res.t, P_old, P_new)
-            res = res._replace(R=R2, t=t2)
-        self._invalidate_map_cache()
+        if self._pending_fix is not None:
+            return res  # a fix is already in flight; cooldown covers us
+        lc = self.loop_closer
+        prev_cooldown = lc.last_loop_kf
+        # Start the cooldown NOW so detection pauses while the fix is in
+        # flight; restored if validation rejects the candidate.
+        lc.last_loop_kf = kf_cur
+        self._pending_fix = {
+            "phase": "validate",
+            "kf_cur": int(kf_cur),
+            "cand": int(cand),
+            "prev_cooldown": prev_cooldown,
+            "packed": lc.validate_dispatch(
+                self._state, kf_cur, cand, self._split_key()
+            ),
+            "n0": self.next_kf,
+            "K": self._state.kf_pose.shape[0],
+        }
         return res
+
+    def _advance_pending_fix(self):
+        """Advance the in-flight loop correction by one bounded phase
+        (called once per fed frame):
+
+        validate -> (ready-read) gate the Sim3; dispatch async copies of
+                    the arrays the host-side correction math needs
+                    (kf_pose, kf_valid, two covisibility rows, the
+                    device-compacted strong-pair list);
+        correct  -> (ready-reads) numpy Sim3 neighborhood correction +
+                    pose-graph edge build on the prefetched arrays, then
+                    pure dispatch: graph solve, map-structure correction,
+                    mid-flight-keyframe adoption, duplicate fuse, tracker
+                    pose rebase, deferred global BA start.
+        """
+        f = self._pending_fix
+        if f is None:
+            return
+        lc = self.loop_closer
+        st = self._state
+        if st.kf_pose.shape[0] != f["K"]:
+            _log.info("pending loop fix dropped (map capacity grew)")
+            lc.last_loop_kf = f["prev_cooldown"]
+            self._pending_fix = None
+            return
+        if f["phase"] == "validate":
+            with self.timer.stage("loopfix.validate"):
+                val = lc.validate_consume(f["packed"])
+                if val is None:
+                    lc.last_loop_kf = f["prev_cooldown"]
+                    self._pending_fix = None
+                    return
+                f["val"] = val
+                kf_cur, cand = f["kf_cur"], f["cand"]
+                _log.info("loop closure: keyframe %d -> %d (s=%.3f)",
+                          kf_cur, cand, val[2])
+                from structure_plp_slam_tpu.models import loop_closer as lcm
+
+                cov = ms.covisibility_matrix(st, self._obs_indicator())
+                rows = cov[jnp.asarray([kf_cur, cand])]
+                pairs = lcm._strong_pair_list(st, cap=4096)
+                fetch = {
+                    "pose": st.kf_pose, "valid": st.kf_valid,
+                    "rows": rows, "pairs": pairs,
+                }
+                for v in fetch.values():
+                    try:
+                        v.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        pass
+                f["fetch"] = fetch
+                f["n1"] = self.next_kf
+                f["phase"] = "correct"
+            return
+        # phase == "correct": everything below is host math on prefetched
+        # arrays + device dispatch — no blocking fetch.
+        with self.timer.stage("loopfix.correct"):
+            kf_cur, cand = f["kf_cur"], f["cand"]
+            R21, t21, s21 = f["val"]
+            # A still-running deferred BA's snapshot predates this
+            # correction: merge it first.
+            self._finish_deferred_gba()
+            pose_h = np.asarray(f["fetch"]["pose"])
+            valid_h = np.asarray(f["fetch"]["valid"])
+            rows_h = np.asarray(f["fetch"]["rows"])
+            pairs_h = np.asarray(f["fetch"]["pairs"])
+            R_new, t_new, s_new, neigh = lc.correct_host_poses(
+                pose_h, valid_h, rows_h, kf_cur, cand, R21, t21, s21,
+                neigh_extend=range(f["n0"], f["n1"]),
+            )
+            # Pose-graph initial estimate: scale folded into SE3.
+            pose_graph_init = pose_h.copy()
+            pose_graph_init[:, :, :3] = R_new
+            pose_graph_init[:, :, 3] = t_new / np.maximum(
+                s_new, 1e-12)[:, None]
+            prob, valid_ids = lc.build_graph_problem(
+                pose_graph_init, valid_h, pairs_h, cand
+            )
+            st = self._state
+            P_old_cur = st.kf_pose[kf_cur]
+            if prob is None:
+                # Degenerate tiny map: apply the neighborhood correction
+                # directly without a graph solve.
+                R_opt = jnp.asarray(R_new)
+                t_opt = jnp.asarray(t_new)
+                s_opt = jnp.asarray(s_new)
+            else:
+                R_opt, t_opt, s_opt = lc.solve_graph(
+                    prob, valid_ids, st.kf_pose.shape[0]
+                )
+            self._state = _loopfix_adopt(
+                st, R_opt, t_opt, s_opt, jnp.int32(f["n1"])
+            )
+            # Duplicate fusion around the closed loop
+            # (global_optimization_module.cc:257-260) — on the corrected
+            # geometry.
+            kf_mask = jnp.zeros(
+                (self._state.kf_pose.shape[0],), bool
+            ).at[cand].set(True)
+            cand_lms = ms.local_landmark_mask(self._state, kf_mask)
+            self._state, _ = mapper.fuse_into_keyframe(
+                self.camera, self._state, kf_cur, cand_lms
+            )
+            # Tracker continues from the corrected geometry.
+            P_new_cur = self._state.kf_pose[kf_cur]
+            Rp, tp = self.pose
+            self.pose = _rebase_pose(Rp, tp, P_old_cur, P_new_cur)
+            self.vel = (
+                jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32)
+            )
+            self._invalidate_map_cache()
+            lc.loop_edges.append(
+                (kf_cur, cand, np.asarray(R21), np.asarray(t21), float(s21))
+            )
+            lc.last_loop_kf = kf_cur
+            lc._continuity.clear()
+            lc.num_loops_closed += 1
+            if self.async_loop_ba:
+                self._start_deferred_gba(anchor_kf=cand)
+            else:
+                from structure_plp_slam_tpu.models import global_ba
+                from structure_plp_slam_tpu.models import pose_graph as pg
+
+                K = self._state.kf_pose.shape[0]
+                pose_before = self._state.kf_pose
+                self._state = global_ba.run_global_ba(
+                    self.camera, self._state,
+                    np.asarray(self.frontend.inv_sigma_sq),
+                    anchor_kf=cand, mesh=lc.mesh,
+                )
+                ones = jnp.ones((K,), jnp.float32)
+                self._state = pg.correct_map_structures(
+                    self._state,
+                    pose_before[:, :, :3], pose_before[:, :, 3], ones,
+                    self._state.kf_pose[:, :, :3],
+                    self._state.kf_pose[:, :, 3], ones,
+                    lm_mask=jnp.zeros_like(self._state.lm_valid),
+                )
+                self._invalidate_map_cache()
+        self._pending_fix = None
 
     # ------------------------------------------------------------------
     # Deferred post-loop global BA (reference: loop_bundle_adjuster.cc
@@ -611,14 +940,11 @@ class System:
                 mesh = self.loop_closer.mesh
                 if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
                     p["aux"] = "mesh"
-                elif K > 512 and (K & (K - 1)) == 0:
+                elif K > 512:
                     c1, c2, raw_of_comp = global_ba.prepare_chain_pairs(
                         data, f["kf_valid"]
                     )
-                    P = len(c1)
-                    P_pad = 1 << max(10, int(P).bit_length())
-                    c1 = np.concatenate([c1, np.full(P_pad - P, -1, np.int64)])
-                    c2 = np.concatenate([c2, np.full(P_pad - P, -1, np.int64)])
+                    c1, c2 = global_ba.pad_chain_pairs(c1, c2)
                     p["aux"] = (
                         jnp.asarray(c1, jnp.int32), jnp.asarray(c2, jnp.int32),
                         jnp.asarray(raw_of_comp, jnp.int32),
@@ -705,8 +1031,10 @@ class System:
         """Double selected map capacities in place (slot ids stable)."""
         from structure_plp_slam_tpu.data import map_database
 
-        # A deferred loop BA's snapshot would no longer match: merge it
-        # before the shapes change.
+        # An in-flight loop fix / deferred loop BA's snapshots would no
+        # longer match: run them to completion before the shapes change.
+        while self._pending_fix is not None:
+            self._advance_pending_fix()
         self._finish_deferred_gba()
         _log.info("growing map capacities: %s", ", ".join(sorted(kw)))
         self._state = map_database.grow(self._state, **kw)
@@ -742,6 +1070,7 @@ class System:
         # Pending decisions refer to the map being destroyed; drop them.
         self._pending.clear()
         self._pending_loop = None
+        self._pending_fix = None
         self._pending_gba = None
         self._dense_frames.clear()
         self._state = ms.create(
@@ -776,10 +1105,7 @@ class System:
                 img, self._split_key() if self.with_lines else None, mask=mask
             )
         self._cur_seg_mask = seg_mask
-        # Keep the caller's buffer as-is (np or device array): a forced
-        # np.asarray here would SYNC + copy a device-resident image back
-        # over the wire every frame; viewers materialize it on poll.
-        self._last_image = img
+        self._last_image = _keep_image(img)
         return self._track(feats, timestamp)
 
     def feed_RGBD_frame(self, img, depthmap, timestamp: float, mask=None,
@@ -800,7 +1126,7 @@ class System:
             )
         else:
             self._cur_dense = None
-        self._last_image = img  # as-is; see feed_monocular_frame
+        self._last_image = _keep_image(img)
         return self._track(feats, timestamp)
 
     def feed_stereo_frame(self, img_left, img_right, timestamp: float,
@@ -811,7 +1137,7 @@ class System:
                 self._split_key() if self.with_lines else None, mask=mask,
             )
         self._cur_seg_mask = seg_mask
-        self._last_image = img_left  # as-is; see feed_monocular_frame
+        self._last_image = _keep_image(img_left)
         return self._track(feats, timestamp)
 
     # ------------------------------------------------------------------
@@ -884,9 +1210,11 @@ class System:
             dense=getattr(self, "_cur_dense", None),
         )
         self._pending.append(entry)
-        # One bounded chunk of any in-flight post-loop global BA rides
-        # along with this frame (the reference's 4th-thread loop BA;
-        # chunking bounds the per-frame latency on one chip).
+        # One bounded phase of any in-flight loop fix and one chunk of
+        # any deferred post-loop global BA ride along with this frame
+        # (the reference's loop thread + 4th-thread loop BA; bounding
+        # the per-frame latency on one chip).
+        self._advance_pending_fix()
         self._advance_deferred_gba()
         cur_ok = True
         while len(self._pending) > self.track_lag:
@@ -1249,157 +1577,53 @@ class System:
             res = self._consume_pending_loop(res)
         slot = self.next_kf
         pose = jnp.concatenate([res.R, res.t[:, None]], 1)
-        st = self._state
-        with self.timer.stage("kf.insert", sync_on=lambda: st):
-            st, created = mapper.insert_keyframe(
-                self.camera, st, slot, pose, ts, feats, res.kp_lm, self.next_lm
+        has_seg = entry.seg_mask is not None
+        has_seg_lines = self.with_lines and entry.seg_line_idx is not None
+        lc = self.loop_closer
+        do_detect = (
+            self.enable_loop_closing
+            and self.next_kf + 1 >= 8
+            and slot - lc.last_loop_kf >= lc.min_gap
+        )
+        seg_mask_arg = (
+            jnp.asarray(entry.seg_mask) if has_seg
+            else jnp.zeros((1, 1), jnp.uint8)
+        )
+        seg_line_arg = (
+            entry.seg_line_idx if has_seg_lines
+            else jnp.zeros((0,), jnp.int32)
+        )
+        # The whole chain (insert, cull, triangulate, lines, fuse, planes,
+        # local BA, keyframe cull, statistics, loop-detect scoring) is ONE
+        # jitted dispatch — see _kf_chain. Counters stay device scalars.
+        with self.timer.stage("keyframe.chain", sync_on=lambda: st):
+            (st, next_lm, next_plane, next_line, ind, packed,
+             cov) = _kf_chain(
+                self.camera, self._state, slot, pose, ts, feats,
+                res.kp_lm, self.next_lm, seg_mask_arg, seg_line_arg,
+                self._split_key(), self.next_plane, self.next_line,
+                self.frontend.inv_sigma_sq, self._obs_indicator(),
+                with_lines=self.with_lines, has_seg=has_seg,
+                has_seg_lines=has_seg_lines,
+                do_ba=self.next_kf + 1 >= 3,
+                do_cull_kf=self.next_kf + 1 >= 5,
+                stats_full=slot % 2 == 0, do_detect=do_detect,
+                two_view_lines=(
+                    self.camera.setup is not CameraSetup.MONOCULAR
+                    and self.next_kf + 1 >= 2
+                ),
+                num_tri_neighbors=self.num_tri_neighbors,
+                planar=self.planar, use_graph_cut=self.use_graph_cut,
+                scale_factor=self.frontend.extractor.params.scale_factor,
+                num_levels=self.frontend.extractor.params.num_levels,
+                bow_max_hamming=lc.bow.max_hamming, bow_chunk=lc.bow.chunk,
             )
-        next_lm = self.next_lm + created
         self.next_kf += 1
         self.frames_since_kf = 0
-
-        # The [K, L] observation indicator is a ~5 ms TPU scatter to
-        # build; compute it ONCE here (post-insert) and thread it through
-        # the chain stages (covisibility, culling, fuse, BA window,
-        # landmark statistics) — the reference's covisibility graph also
-        # updates once per keyframe (graph_node.cc:92).
-        ind = ms.observation_indicator(st)
-
-        # Landmark culling for recent landmarks.
-        with self.timer.stage("kf.cull_lm", sync_on=lambda: st):
-            st, _ = mapper.cull_landmarks(st, slot, ind=ind)
-
-        # Two-view triangulation with top covisible neighbors — all setups:
-        # depth-seeded maps still gain far points beyond the depth range
-        # (reference: mapping_module create_new_landmarks runs for every
-        # setup, mapping_module.cc:359-418). Neighbor selection happens
-        # inside the jit.
-        with self.timer.stage("kf.triangulate", sync_on=lambda: st):
-            st, n_tri = mapper.triangulate_with_neighbors(
-                self.camera, st, slot, next_lm, ind,
-                num_neighbors=self.num_tri_neighbors,
-            )
-        next_lm = next_lm + n_tri
-
-        # Line landmarks: register tracked associations, then create lines
-        # from depth / point anchors / two-view intersection (reference:
-        # parallel line-triangulation thread, mapping_module.cc:407-408).
-        # Capacity limits are in-jit gates; counters stay on device.
         if self.with_lines:
-            from structure_plp_slam_tpu.models import line_mapper
-
-            next_line = self.next_line
-            if entry.seg_line_idx is not None:
-                st = st._replace(
-                    kf_line_idx=st.kf_line_idx.at[slot].set(entry.seg_line_idx)
-                )
-            # Depth path first (RGB-D/stereo), then point-anchored lines:
-            # the primary monocular source (the point map IS the depth
-            # map); also tops up metric setups where the depth map had
-            # holes.
-            st, n_depth = line_mapper.lines_from_depth(
-                self.camera, st, slot, next_line
-            )
-            next_line = next_line + n_depth
-            st, n_pts = line_mapper.lines_from_points(
-                self.camera, st, slot, next_line
-            )
-            next_line = next_line + n_pts
-            # Two-view plane-intersection fallback for leftover segments.
-            # Metric setups only: without depth or point anchors the pair
-            # geometry cannot reject aliased parallel segments (clipped
-            # verticals especially), so for monocular the point-anchored
-            # path above is the sole line source.
-            if self.camera.setup is not CameraSetup.MONOCULAR and self.next_kf >= 2:
-                st, n_two = line_mapper.triangulate_lines_with_neighbors(
-                    self.camera, st, slot, next_line
-                )
-                next_line = next_line + n_two
-            # Re-observation is the real line filter: creation is
-            # permissive, unsupported lines die here (reference:
-            # local_map_cleaner.cc:133 line culling).
-            st, _ = line_mapper.cull_lines(st, slot)
             self.next_line = next_line
-
-        # Fuse duplicates with the local map.
-        with self.timer.stage("kf.fuse", sync_on=lambda: st):
-            kf_mask = jnp.zeros((self.max_keyframes,), bool).at[slot].set(True)
-            lm_local = ms.local_landmark_mask(st, kf_mask, ind)
-            st, _ = mapper.fuse_into_keyframe(
-                self.camera, st, slot, lm_local, ind=ind
-            )
-        # Fuse rewires associations; refresh the shared indicator once for
-        # the BA window / statistics / detection stages.
-        ind = ms.observation_indicator(st)
-
-        # Plane landmarks from instance segmentation (reference:
-        # Planar_Mapping_module::process_new_kf, mapping_module.cc:242-248).
-        if entry.seg_mask is not None:
-            from structure_plp_slam_tpu.models import planar_mapper
-
-            with self.timer.stage("kf.planes", sync_on=lambda: st):
-                labels = planar_mapper.label_keypoints(
-                    jnp.asarray(entry.seg_mask, jnp.int32),
-                    feats["xy"],
-                    feats["valid"],
-                    check_3x3=self.planar.check_3x3_window,
-                )
-                scale = mapper.map_scale(st, slot)
-                st, n_pl = planar_mapper.detect_planes(
-                    st, slot, labels, self.next_plane,
-                    self._split_key(), scale,
-                    max_instances=self.planar.max_instances,
-                    coherent=self.use_graph_cut,
-                    params=self.planar,
-                )
-                self.next_plane = self.next_plane + n_pl
-                st, _ = planar_mapper.merge_planes(st, scale,
-                                                   params=self.planar)
-                st = planar_mapper.refine_planes(st, scale, params=self.planar)
-                st = planar_mapper.snap_points_to_planes(
-                    st, scale, params=self.planar
-                )
-
-        # Local BA — JOINT point+line when lines are on (reference:
-        # local_bundle_adjuster_extended_line.cc puts line reprojection
-        # edges in the same graph; window lines are 4-DoF orthonormal BA
-        # variables eliminated alongside the points).
-        if self.next_kf >= 3:
-            if self.with_lines:
-                from structure_plp_slam_tpu.models import line_mapper
-
-                # Depth-anchored rebase first (RGB-D/stereo lines).
-                st = line_mapper.refresh_lines(self.camera, st)
-            with self.timer.stage("local_ba", sync_on=lambda: st):
-                st, _ = mapper.local_ba(
-                    self.camera, st, slot, self.frontend.inv_sigma_sq,
-                    with_lines=self.with_lines, ind=ind,
-                )
-        # Keyframe culling. (The retrieval index is stateless over the
-        # MapState, so culled slots drop out of scoring via kf_valid with
-        # no eviction bookkeeping.)
-        if self.next_kf >= 5:
-            with self.timer.stage("kf.cull_kf", sync_on=lambda: st):
-                st, _ = mapper.cull_keyframes(st, slot, ind=ind)
-
-        # Refresh landmark statistics over current observers: mean viewing
-        # direction, ORB scale bounds, and the median-Hamming representative
-        # descriptor (reference: landmark::update_normal_and_depth +
-        # landmark::compute_descriptor, data/landmark.h:99-110).
-        # Full statistics (sorted obs compaction + median-Hamming pick)
-        # every OTHER keyframe; the cheap indicator-matmul normal refresh
-        # in between (the reference updates per landmark on observation
-        # change; batching at keyframe granularity is this design's
-        # equivalent, and the descriptor/bounds drift slowly).
-        with self.timer.stage("kf.normals", sync_on=lambda: st):
-            if slot % 2 == 0:
-                st = mapper.refresh_landmark_stats(
-                    st, ind,
-                    scale_factor=self.frontend.extractor.params.scale_factor,
-                    num_levels=self.frontend.extractor.params.num_levels,
-                )
-            else:
-                st = mapper.update_landmark_normals(st, ind)
+        if has_seg:
+            self.next_plane = next_plane
 
         if entry.dense is not None:
             self._dense_frames[slot] = entry.dense
@@ -1410,7 +1634,9 @@ class System:
         self.last_kp_lm = st.kf_lm_idx[slot]
         self.ref_kf = slot
         self._ref_kf_dev = jnp.int32(slot)
-        self._invalidate_map_cache()
+        # The chain returns the POST-chain observation indicator — seed
+        # the tracking cache with it instead of rebuilding next frame.
+        self._ind_cache = ind
 
         # Stream the updated map to attached viewers; maybe checkpoint.
         # (Separate stages so periodic checkpoint I/O spikes are not
@@ -1423,14 +1649,16 @@ class System:
         # Loop closing (reference: the keyframe flows to the
         # global-optimization THREAD's queue, mapping_module.cc:150, so
         # detection never blocks tracking). Same latency tolerance here:
-        # the detection compute + its [K, K+2] device->host copy are
-        # dispatched now and consumed at the NEXT keyframe (see
-        # _consume_pending_loop, called at the top of this method), so the
-        # feed path never waits on the fetch RPC.
-        if self.enable_loop_closing and self.next_kf >= 8:
-            self._pending_loop = (
-                slot, self.loop_closer.detect_dispatch(self._state, slot, ind)
-            )
+        # the detection compute ran inside the chain dispatch; its
+        # [K, 3] device->host copy starts now and is consumed at the NEXT
+        # keyframe (_consume_pending_loop, called at the top of this
+        # method), so the feed path never waits on the fetch RPC.
+        if do_detect:
+            try:
+                packed.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+            self._pending_loop = (slot, (packed, cov))
 
     # ------------------------------------------------------------------
     def _obs_indicator(self):
