@@ -52,17 +52,19 @@ DESC_DIM = NUM_BANDS * 14 + 2
 
 
 def sobel_gradients(img):
-    """f32 [H, W] -> (gx, gy) via 3x3 Sobel with reflect padding."""
-    kx = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-    ky = kx.T
-    x = jnp.pad(img, 1, mode="reflect")[None, None]
+    """f32 [H, W] -> (gx, gy) via 3x3 Sobel with reflect padding.
 
-    def conv(k):
-        return jax.lax.conv_general_dilated(
-            x, k[None, None], window_strides=(1, 1), padding="VALID"
-        )[0, 0]
-
-    return conv(kx), conv(ky)
+    Written as shifted adds, NOT ``lax.conv``: a single-channel 3x3 conv
+    lowers to a layout-hostile TPU path costing ~10 ms at 640x480
+    (measured — it dominated the whole line front-end); the shift+add
+    form is pure VPU elementwise work at memory bandwidth."""
+    p = jnp.pad(img, 1, mode="reflect")
+    tl, tc, tr = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+    ml, mr = p[1:-1, :-2], p[1:-1, 2:]
+    bl, bc, br = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+    gx = (tr + 2.0 * mr + br) - (tl + 2.0 * ml + bl)
+    gy = (bl + 2.0 * bc + br) - (tl + 2.0 * tc + tr)
+    return gx, gy
 
 
 @functools.partial(
@@ -200,8 +202,32 @@ def detect_line_segments(
     nbins = int(2 * T0 / BIN) + 2
     t_bin = jnp.clip(((t + T0) / BIN).astype(jnp.int32), 0, nbins - 1)
     S = t.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, t_bin.shape, 0)
-    occ = jnp.zeros((S, nbins), bool).at[rows, t_bin].max(inl)
+    # Per-hypothesis bin occupancy WITHOUT a scatter and WITHOUT a sort:
+    # the natural [S, P] -> [S, nbins] scatter-max serializes ~4M updates
+    # on TPU (~100 ms — the whole with_lines fps collapse), and a row
+    # sort of [2048, 2048] costs ~55 ms in XLA. Occupancy is a BITMASK:
+    # each inlier sets bit (t_bin % 32) of word (t_bin / 32), and a
+    # bitwise-OR tree reduction over the point axis collapses it — pure
+    # bandwidth (~100 MB), no serialization.
+    NW = (nbins + 31) // 32
+    w_idx = t_bin >> 5
+    bit = (jnp.uint32(1) << (t_bin & 31).astype(jnp.uint32))
+    bit = jnp.where(inl, bit, jnp.uint32(0))
+    occ_words = jnp.stack(
+        [
+            jax.lax.reduce(
+                jnp.where(w_idx == w, bit, jnp.uint32(0)),
+                jnp.uint32(0), jax.lax.bitwise_or, (1,),
+            )
+            for w in range(NW)
+        ],
+        axis=1,
+    )  # [S, NW]
+    b_ids = jnp.arange(nbins)
+    occ = (
+        (occ_words[:, b_ids >> 5] >> (b_ids & 31)[None, :].astype(jnp.uint32))
+        & 1
+    ).astype(bool)                               # [S, nbins]
     occ_d = occ | jnp.roll(occ, 1, axis=1) | jnp.roll(occ, -1, axis=1)
 
     def run_step(carry, b):

@@ -57,11 +57,14 @@ class ShardedBAProblem(NamedTuple):
     pair_valid: jax.Array
 
 
-def shard_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
+def shard_problem(prob: BAProblem, n_shards: int,
+                  return_map: bool = False):
     """Host-side partition of a BAProblem by landmark id (block-cyclic).
 
     Observations move to the shard owning their landmark; both landmark and
     observation arrays are padded to equal per-shard sizes.
+    ``return_map``: additionally return the [O, 2] (shard, slot) position
+    of every ORIGINAL observation (for chain-pair remapping).
     """
     M = int(prob.lm_pos.shape[0])
     O = int(prob.obs_cam.shape[0])
@@ -150,7 +153,12 @@ def shard_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
     s_p2[psh, pslot] = p2_flat[order_ps]
     s_pv[psh, pslot] = True
 
-    return ShardedBAProblem(
+    obs_map = None
+    if return_map:
+        obs_map = np.zeros((O, 2), np.int64)
+        obs_map[src, 0] = sh_of
+        obs_map[src, 1] = slot
+    sp = ShardedBAProblem(
         cam_pose=prob.cam_pose,
         cam_fixed=prob.cam_fixed,
         cam_valid=prob.cam_valid,
@@ -166,6 +174,9 @@ def shard_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
         pair_o2=jnp.asarray(s_p2.reshape(-1)),
         pair_valid=jnp.asarray(s_pv.reshape(-1)),
     )
+    if return_map:
+        return sp, obs_map
+    return sp
 
 
 def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
@@ -346,6 +357,277 @@ def make_distributed_ba(mesh: Mesh, camera, *, num_iters: int = 10,
             sp.cam_pose, sp.cam_fixed, sp.cam_valid, sp.lm_pos, sp.lm_valid,
             sp.obs_cam, sp.obs_lm, sp.obs_uv, sp.obs_xr, sp.obs_inv_sigma_sq,
             sp.obs_valid, sp.pair_o1, sp.pair_o2, sp.pair_valid,
+        )
+
+    return run
+
+
+def shard_chain_pairs(c1, c2, obs_owner_map, n_shards: int):
+    """Map GLOBAL chain-pair observation indices (global_ba.
+    prepare_chain_pairs) into the sharded layout.
+
+    ``obs_owner_map``: [O_global, 2] (shard, slot) of every global
+    observation (from :func:`shard_problem` with ``return_map=True``).
+    Both members of a chain pair observe the same landmark, so they live
+    on the same shard. Returns per-shard [n_shards, P_shard] local slot
+    arrays plus the pair's global chain position (for the replicated
+    block-tridiagonal preconditioner scatter), -1 padded."""
+    c1 = np.asarray(c1)
+    c2 = np.asarray(c2)
+    live = c1 >= 0
+    c1l, c2l = c1[live], c2[live]
+    pos_global = np.nonzero(live)[0]  # position in the compact chain list
+    sh = obs_owner_map[c1l, 0]
+    s1 = obs_owner_map[c1l, 1]
+    s2 = obs_owner_map[c2l, 1]
+    counts = (np.bincount(sh, minlength=n_shards) if len(sh)
+              else np.zeros((n_shards,), np.int64))
+    P_shard = 1 << max(8, int(max(counts.max() if len(counts) else 1, 1)
+                              - 1).bit_length())
+    o1 = np.full((n_shards, P_shard), -1, np.int32)
+    o2 = np.full((n_shards, P_shard), -1, np.int32)
+    cpos = np.full((n_shards, P_shard), -1, np.int32)
+    order = np.argsort(sh, kind="stable")
+    shs = sh[order]
+    first = np.searchsorted(shs, np.arange(n_shards))
+    slot = np.arange(len(shs)) - first[shs]
+    o1[shs, slot] = s1[order]
+    o2[shs, slot] = s2[order]
+    cpos[shs, slot] = pos_global[order]
+    return (jnp.asarray(o1.reshape(-1)), jnp.asarray(o2.reshape(-1)),
+            jnp.asarray(cpos.reshape(-1)))
+
+
+def make_distributed_ba_pcg(mesh: Mesh, camera, *, num_iters: int = 10,
+                            cg_iters: int = 40, damping: float = 1e-4):
+    """Distributed global BA with a MATRIX-FREE Schur solve — the mesh
+    path past K ~ 512 (round-3 verdict missing #6: the dense mesh solve
+    rebuilt the [C, C, 6, 6] camera system + 6C x 6C Cholesky per device,
+    re-erecting the scale ceiling the single-device PCG removed).
+
+    Same landmark-sharded partition as :func:`make_distributed_ba`; the
+    reduced camera system is never materialized. Per CG iteration the
+    Schur matvec's camera-space reduction is ONE [K, 6] psum over the
+    'lm' axis (a few KB on ICI); the block-tridiagonal chain
+    preconditioner (models/pose_graph BCR) is K-sized and factored
+    REDUNDANTLY on every device from psum'd chain blocks — cheaper than
+    sharding a log-depth elimination. CG state is replicated; every
+    device runs the identical scalar recurrence, so no broadcast is
+    needed."""
+    from structure_plp_slam_tpu.models.pose_graph import (
+        _bcr_apply, _bcr_factor, _shift_right,
+    )
+
+    axis = "lm"
+
+    def shard_body(cam_pose0, cam_fixed, cam_valid, lm_pos0, lm_valid,
+                   obs_cam, obs_lm, obs_uv, obs_xr, obs_info, obs_valid,
+                   chain_o1, chain_o2, chain_pos, comp_idx, comp_ok):
+        K = cam_pose0.shape[0]
+        M = lm_pos0.shape[0]
+        O = obs_cam.shape[0]
+        has_stereo = obs_xr >= 0.0
+        eye6 = jnp.eye(6, dtype=jnp.float32)
+        obs_live = obs_valid & cam_valid[obs_cam] & lm_valid[obs_lm]
+
+        def iteration(carry, _):
+            cam_pose, lm_pos = carry
+            R = cam_pose[obs_cam, :, :3]
+            t = cam_pose[obs_cam, :, 3]
+            X = lm_pos[obs_lm]
+            pc = jnp.einsum("oij,oj->oi", R, X) + t
+            uv, _ = cam_base.project(camera, pc)
+            r_uv = cam_base.uv_residual(camera, uv, obs_uv)
+            z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+            r_xr = (uv[..., 0] - camera.focal_x_baseline / z) - obs_xr
+            chi2 = jnp.sum(r_uv * r_uv, -1) * obs_info + jnp.where(
+                has_stereo, r_xr * r_xr * obs_info, 0.0
+            )
+            delta_sq = jnp.where(has_stereo, robust.CHI2_3D, robust.CHI2_2D)
+            w = jnp.where(
+                obs_live & cam_base.cheirality(camera, pc),
+                robust.huber_weight(chi2, delta_sq) * obs_info,
+                0.0,
+            )
+            iz = 1.0 / z
+            iz2 = iz * iz
+            fx, fxb = camera.fx, camera.focal_x_baseline
+            zero = jnp.zeros_like(z)
+            J_uv_pc = cam_base.project_jacobian(camera, pc)
+            J_xr_pc = jnp.stack(
+                [fx * iz, zero, -fx * pc[:, 0] * iz2 + fxb * iz2], -1
+            )
+            dpc = jnp.concatenate(
+                [
+                    jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype),
+                                     (pc.shape[0], 3, 3)),
+                    -lie.hat(pc),
+                ],
+                axis=-1,
+            )
+            Jc2 = J_uv_pc @ dpc
+            Jl2 = J_uv_pc @ R
+            Jc3 = (J_xr_pc[:, None, :] @ dpc)[:, 0]
+            Jl3 = (J_xr_pc[:, None, :] @ R)[:, 0]
+            w_st = jnp.where(has_stereo, w, 0.0)
+
+            Hcc_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jc2) \
+                + jnp.einsum("oi,oj->oij", Jc3 * w_st[:, None], Jc3)
+            Hll_o = jnp.einsum("ori,orj->oij", Jl2 * w[:, None, None], Jl2) \
+                + jnp.einsum("oi,oj->oij", Jl3 * w_st[:, None], Jl3)
+            U_o = jnp.einsum("ori,orj->oij", Jc2 * w[:, None, None], Jl2) \
+                + jnp.einsum("oi,oj->oij", Jc3 * w_st[:, None], Jl3)
+            bc_o = -(jnp.einsum("ori,or->oi", Jc2 * w[:, None, None], r_uv)
+                     + Jc3 * (w_st * r_xr)[:, None])
+            bl_o = -(jnp.einsum("ori,or->oi", Jl2 * w[:, None, None], r_uv)
+                     + Jl3 * (w_st * r_xr)[:, None])
+
+            Hcc = jax.lax.psum(
+                jnp.zeros((K, 6, 6), jnp.float32).at[obs_cam].add(Hcc_o),
+                axis,
+            )
+            bc = jax.lax.psum(
+                jnp.zeros((K, 6), jnp.float32).at[obs_cam].add(bc_o), axis
+            )
+            Hll = jnp.zeros((M, 3, 3), jnp.float32).at[obs_lm].add(Hll_o)
+            bl = jnp.zeros((M, 3), jnp.float32).at[obs_lm].add(bl_o)
+            lam_l = damping * jnp.maximum(
+                jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0,
+                1e-6,
+            )
+            Hll_inv = jnp.linalg.inv(Hll + lam_l * jnp.eye(3)[None])
+
+            free = (~cam_fixed) & cam_valid
+            free_f = free.astype(jnp.float32)
+            diag_scale = damping * jnp.maximum(
+                jnp.trace(Hcc, axis1=-2, axis2=-1) / 6.0, 1e-6
+            )
+            Hcc_d = Hcc + diag_scale[:, None, None] * eye6[None]
+
+            UHinv = jnp.einsum("oij,ojk->oik", U_o, Hll_inv[obs_lm])
+            rhs_o = jnp.einsum("oik,ok->oi", UHinv, bl[obs_lm])
+            rhs = bc - jax.lax.psum(
+                jnp.zeros((K, 6), jnp.float32).at[obs_cam].add(rhs_o), axis
+            )
+            rhs = rhs * free_f[:, None]
+
+            def matvec(x):
+                xf = x * free_f[:, None]
+                v = jnp.einsum("oij,oi->oj", U_o, xf[obs_cam])
+                g = jnp.zeros((M, 3), jnp.float32).at[obs_lm].add(v)
+                y_o = jnp.einsum("oik,ok->oi", UHinv, g[obs_lm])
+                y_red = jax.lax.psum(
+                    jnp.zeros((K, 6), jnp.float32).at[obs_cam].add(y_o),
+                    axis,
+                )
+                y = jnp.einsum("kij,kj->ki", Hcc_d, xf) - y_red
+                y = y * free_f[:, None]
+                return jnp.where(free[:, None], y, x)
+
+            # Block diagonal + chain blocks of S for the preconditioner.
+            selfS_o = jnp.einsum("oik,ojk->oij", UHinv, U_o)
+            D = Hcc_d - jax.lax.psum(
+                jnp.zeros((K, 6, 6), jnp.float32).at[obs_cam].add(selfS_o),
+                axis,
+            )
+            D = jnp.where(free[:, None, None], D, eye6[None])
+
+            chain_ok = chain_o1 >= 0
+            o1s = jnp.clip(chain_o1, 0, O - 1)
+            o2s = jnp.clip(chain_o2, 0, O - 1)
+            f1 = free_f[obs_cam[o1s]]
+            f2 = free_f[obs_cam[o2s]]
+            S_chain = -jnp.einsum(
+                "pik,pjk->pij", UHinv[o1s], U_o[o2s]
+            ) * (f1 * f2 * chain_ok)[:, None, None]
+            cpos = jnp.where(chain_ok, chain_pos, K)
+            C_t = jax.lax.psum(
+                jnp.zeros((K, 6, 6), jnp.float32).at[cpos].add(
+                    S_chain, mode="drop"
+                ),
+                axis,
+            )
+            B_t = D[comp_idx]
+            B_t = jnp.where(comp_ok[:, None, None], B_t, eye6[None])
+            A_t = _shift_right(jnp.swapaxes(C_t, -1, -2),
+                               jnp.zeros((6, 6), jnp.float32))
+            factor = _bcr_factor(B_t, A_t, C_t)
+
+            def precond(rv):
+                rc = rv[comp_idx] * comp_ok[:, None]
+                zc = _bcr_apply(factor, rc)
+                return jnp.zeros((K + 1, 6), jnp.float32).at[
+                    jnp.where(comp_ok, comp_idx, K)
+                ].set(jnp.where(comp_ok[:, None], zc, 0.0),
+                      mode="drop")[:K]
+
+            def cg_step(cg, _):
+                x, rv, zv, p, rz = cg
+                Hp = matvec(p)
+                pHp = jnp.sum(p * Hp)
+                a = rz / jnp.where(jnp.abs(pHp) < 1e-20, 1.0, pHp)
+                x = x + a * p
+                rv = rv - a * Hp
+                zv = precond(rv)
+                rz_new = jnp.sum(rv * zv)
+                beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1.0, rz)
+                p = zv + beta * p
+                return (x, rv, zv, p, rz_new), None
+
+            z0 = precond(rhs)
+            (dx_c, _, _, _, _), _ = jax.lax.scan(
+                cg_step,
+                (jnp.zeros_like(rhs), rhs, z0, z0, jnp.sum(rhs * z0)),
+                None, length=cg_iters,
+            )
+
+            Ut_dxc_o = jnp.einsum("oij,oi->oj", U_o, dx_c[obs_cam])
+            Ut_dxc = jnp.zeros((M, 3), jnp.float32).at[obs_lm].add(Ut_dxc_o)
+            dx_l = jnp.einsum("mij,mj->mi", Hll_inv, bl - Ut_dxc)
+
+            ok = jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dx_l))
+            dx_c = jnp.where(ok, lie.clamp_tangent(dx_c, 0.3, 5.0), 0.0)
+            dx_l = jnp.where(ok, jnp.clip(dx_l, -5.0, 5.0), 0.0)
+            R_new, t_new = lie.se3_update(
+                cam_pose[:, :, :3], cam_pose[:, :, 3], dx_c
+            )
+            cam_new = jnp.where(
+                free[:, None, None], lie.pack_pose(R_new, t_new), cam_pose
+            )
+            lm_new = jnp.where(lm_valid[:, None], lm_pos + dx_l, lm_pos)
+            return (cam_new, lm_new), None
+
+        (cam_pose, lm_pos), _ = jax.lax.scan(
+            iteration, (cam_pose0, lm_pos0), None, length=num_iters
+        )
+        cam_pose = lie.pack_pose(
+            lie.orthonormalize(cam_pose[:, :, :3]), cam_pose[:, :, 3]
+        )
+        free_out = (~cam_fixed) & cam_valid
+        cam_pose = jnp.where(free_out[:, None, None], cam_pose, cam_pose0)
+        return cam_pose, lm_pos
+
+    rep = P()
+    shd = P(axis)
+    fn = jax.jit(
+        jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, shd, shd,
+                      shd, shd, shd, shd, shd, shd,
+                      shd, shd, shd, rep, rep),
+            out_specs=(rep, shd),
+            check_vma=False,
+        )
+    )
+
+    def run(sp: ShardedBAProblem, chain_o1, chain_o2, chain_pos,
+            comp_idx, comp_ok):
+        return fn(
+            sp.cam_pose, sp.cam_fixed, sp.cam_valid, sp.lm_pos,
+            sp.lm_valid, sp.obs_cam, sp.obs_lm, sp.obs_uv, sp.obs_xr,
+            sp.obs_inv_sigma_sq, sp.obs_valid,
+            chain_o1, chain_o2, chain_pos, comp_idx, comp_ok,
         )
 
     return run
