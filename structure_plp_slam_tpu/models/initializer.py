@@ -32,7 +32,9 @@ class MonoInitResult(NamedTuple):
     num_matches: jax.Array   # i32 raw area matches (restart-decision input)
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "min_triangulated"))
+@functools.partial(
+    jax.jit, static_argnames=("camera", "min_triangulated", "coherent")
+)
 def try_initialize_mono(
     camera,
     feats1,
@@ -40,12 +42,18 @@ def try_initialize_mono(
     key,
     *,
     min_triangulated: int = 50,
+    coherent: bool = False,
 ):
     """Attempt two-view initialization between two monocular frames.
 
     Mirrors initialize::perspective::initialize (perspective.cc:54-122):
     area matching, H and F model estimation, selection by
     ``rel_score_H > 0.40``, pose recovery by cheirality, triangulation.
+
+    ``coherent``: run the spatially-coherent consensus for BOTH model
+    races (the reference's GC-RANSAC at perspective.cc:70-85, selected
+    by the same YAML key as the plane path's graph-cut mode) — MSAC
+    seed + mean-field label smoothing over the match k-NN graph.
     """
     from structure_plp_slam_tpu.camera import CameraModel
 
@@ -73,9 +81,14 @@ def try_initialize_mono(
     # (equirectangular pixels subtend far larger angles than a ~500 px-focal
     # pinhole, so a fixed angular bound would reject every true match).
     ang_2px_sq = (2.0 / camera.focal_like) ** 2
-    E, in_e, s_e = ransac.essential_ransac(
-        b1, b2, has, k2, inlier_thr=max(1e-6, ang_2px_sq)
-    )
+    if coherent:
+        E, in_e, s_e = ransac.essential_ransac_coherent(
+            b1, b2, uv1, has, k2, inlier_thr=max(1e-6, ang_2px_sq)
+        )
+    else:
+        E, in_e, s_e = ransac.essential_ransac(
+            b1, b2, has, k2, inlier_thr=max(1e-6, ang_2px_sq)
+        )
     if camera.model is CameraModel.EQUIRECTANGULAR:
         # Equirectangular init: essential matrix on sphere bearings only
         # (reference: initialize/bearing_vector.cc — no homography model
@@ -96,7 +109,10 @@ def try_initialize_mono(
             used_homography=jnp.asarray(False),
             num_matches=jnp.sum(has.astype(jnp.int32)),
         )
-    H, in_h, s_h = ransac.homography_ransac(uv1, uv2, has, k1)
+    if coherent:
+        H, in_h, s_h = ransac.homography_ransac_coherent(uv1, uv2, has, k1)
+    else:
+        H, in_h, s_h = ransac.homography_ransac(uv1, uv2, has, k1)
 
     # Put the essential score in pixel units to compare with H
     # (angular err * f^2 ~ px^2; reference compares chi2 sums directly).

@@ -163,15 +163,26 @@ def _bcr_factor(B, A, C):
 
     ``B`` [n, d, d] diagonal blocks, ``A`` [n, d, d] couples (i, i-1)
     (A[0] ignored/zero), ``C`` [n, d, d] couples (i, i+1) (C[n-1]
-    ignored/zero). ``n`` must be a power of two. Returns an opaque level
-    stack for :func:`_bcr_apply`. log2(n) batched elimination levels — the
-    TPU-friendly alternative to a sequential block-Thomas sweep
-    (graph_optimizer.cc's CSparse Cholesky is the reference's CPU
-    equivalent). Factor once, apply to many right-hand sides (the PCG
-    preconditioner applies it every CG iteration)."""
+    ignored/zero). Non-power-of-two ``n`` is padded internally with
+    identity diagonal blocks and zero couplings (the padded tail is an
+    independent identity system, so the leading n x n solve is exact) —
+    callers need not gate on pow2 capacities (round-3 review weak #9).
+    Returns an opaque level stack for :func:`_bcr_apply`. log2(n) batched
+    elimination levels — the TPU-friendly alternative to a sequential
+    block-Thomas sweep (graph_optimizer.cc's CSparse Cholesky is the
+    reference's CPU equivalent). Factor once, apply to many right-hand
+    sides (the PCG preconditioner applies it every CG iteration)."""
     d = B.shape[-1]
     eyed = jnp.eye(d, dtype=B.dtype)
     zerod = jnp.zeros((d, d), B.dtype)
+
+    n = B.shape[0]
+    n2 = 1 << max(0, (n - 1).bit_length())
+    if n2 != n:
+        pad = n2 - n
+        B = jnp.concatenate([B, jnp.tile(eyed[None], (pad, 1, 1))])
+        A = jnp.concatenate([A, jnp.zeros((pad, d, d), B.dtype)])
+        C = jnp.concatenate([C, jnp.zeros((pad, d, d), B.dtype)])
 
     levels = []
     while B.shape[0] > 1:
@@ -196,8 +207,16 @@ def _bcr_factor(B, A, C):
 
 
 def _bcr_apply(factor, b):
-    """Solve T x = b given ``factor`` from :func:`_bcr_factor`."""
+    """Solve T x = b given ``factor`` from :func:`_bcr_factor`. ``b`` may
+    be shorter than the factored (pow2-padded) size; it is zero-padded and
+    the solution sliced back."""
     levels, inv_B_root = factor
+    n_in = b.shape[0]
+    n_fac = 2 ** len(levels)
+    if n_fac != n_in:
+        b = jnp.concatenate(
+            [b, jnp.zeros((n_fac - n_in, b.shape[-1]), b.dtype)]
+        )
     zerov = jnp.zeros((b.shape[-1],), b.dtype)
 
     rhs_stack = []
@@ -218,7 +237,7 @@ def _bcr_apply(factor, b):
                - jnp.einsum("nij,nj->ni", C_o, x_e_next))
         x_o = jnp.einsum("nij,nj->ni", inv_B_o, rhs)
         x = jnp.stack([x_e, x_o], axis=1).reshape(-1, x.shape[-1])
-    return x
+    return x[:n_in]
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "cg_iters"))

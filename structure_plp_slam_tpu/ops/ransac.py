@@ -102,6 +102,134 @@ def essential_ransac(b1, b2, valid, key, *, num_hypotheses: int = 256,
     return E_best, inliers, score[best]
 
 
+def _match_knn_graph(uv, valid, k: int):
+    """k-NN graph over frame-1 keypoint IMAGE positions (the spatial
+    neighborhood GC-RANSAC's smoothness term uses)."""
+    N = uv.shape[0]
+    d2 = jnp.sum((uv[:, None, :] - uv[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid[None, :] & valid[:, None], d2, jnp.inf)
+    d2 = d2 + jnp.where(jnp.eye(N, dtype=bool), jnp.inf, 0.0)
+    neg, nbr = jax.lax.top_k(-d2, k)
+    return nbr, jnp.isfinite(-neg)
+
+
+def _weighted_nullvec9(A, w):
+    """Smallest eigenvector of A^T diag(w) A for [N, 9] design rows —
+    the weighted DLT/8-point refit (9x9 eigh; tiny)."""
+    M = jnp.einsum("ni,nj->ij", A * w[:, None], A)
+    _, V = jnp.linalg.eigh(M)
+    return V[:, 0]
+
+
+def essential_ransac_coherent(b1, b2, uv1, valid, key, *,
+                              inlier_thr: float = 1e-6,
+                              num_hypotheses: int = 256,
+                              num_neighbors: int = 8,
+                              num_sweeps: int = 4,
+                              smoothness: float = 2.0):
+    """Spatially-coherent essential-matrix consensus: MSAC seed +
+    mean-field inlier-label smoothing over the match k-NN graph,
+    alternating with a weighted 8-point refit.
+
+    The reference runs GC-RANSAC for BOTH mono-init model races
+    (initialize/perspective.cc:70-85, solve/GCRANSAC) — the same
+    E = data + w * sum_{i~j}[x_i != x_j] energy the plane path
+    re-expresses with mean-field sweeps (ops/plane_fit.
+    plane_ransac_coherent); this is that consensus applied to E.
+    Coherence recruits threshold-boundary matches surrounded by inliers
+    (low-parallax inits) and expels isolated residual-lucky matches
+    (repetitive texture)."""
+    E0, inl0, _ = essential_ransac(
+        b1, b2, valid, key, num_hypotheses=num_hypotheses,
+        inlier_thr=inlier_thr,
+    )
+    nbr, nbr_ok = _match_knn_graph(uv1, valid, num_neighbors)
+    tau = 0.5 * inlier_thr
+    A = jnp.einsum("ni,nj->nij", b2, b1).reshape(-1, 9)
+
+    def sweep(carry, _):
+        E, x = carry
+        err = epipolar_error_angular(E, b1, b2)
+        unary = (inlier_thr - err) / tau
+        field = jnp.sum(
+            jnp.where(nbr_ok, 2.0 * x[nbr] - 1.0, 0.0), axis=1
+        ) / jnp.maximum(jnp.sum(nbr_ok, axis=1), 1)
+        x = jax.nn.sigmoid(unary + smoothness * field)
+        x = jnp.where(valid, x, 0.0)
+        e = _weighted_nullvec9(A, x)
+        E2 = e.reshape(3, 3)
+        U, S, Vt2 = jnp.linalg.svd(E2)
+        sm = (S[0] + S[1]) * 0.5
+        E2 = U @ (jnp.stack([sm, sm, 0.0 * sm])[:, None] * Vt2)
+        return (E2, x), None
+
+    (E, x), _ = jax.lax.scan(
+        sweep, (E0, inl0.astype(jnp.float32)), None, length=num_sweeps
+    )
+    err = epipolar_error_angular(E, b1, b2)
+    inl = (x > 0.5) & (err <= 2.0 * inlier_thr) & valid
+    score = jnp.sum(jnp.maximum(inlier_thr - jnp.where(valid, err, jnp.inf),
+                                0.0))
+    return E, inl, score
+
+
+def homography_ransac_coherent(p1, p2, valid, key, *,
+                               inlier_thr: float = 11.98,
+                               num_hypotheses: int = 256,
+                               num_neighbors: int = 8,
+                               num_sweeps: int = 4,
+                               smoothness: float = 2.0):
+    """Spatially-coherent homography consensus (see
+    :func:`essential_ransac_coherent`); weighted-DLT refit."""
+    H0, inl0, _ = homography_ransac(
+        p1, p2, valid, key, num_hypotheses=num_hypotheses,
+        inlier_thr=inlier_thr,
+    )
+    nbr, nbr_ok = _match_knn_graph(p1, valid, num_neighbors)
+    tau = 0.5 * inlier_thr
+
+    def rows(p, q):
+        x, y = p[:, 0], p[:, 1]
+        u, v = q[:, 0], q[:, 1]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y, -u], -1)
+        r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y, -v], -1)
+        return jnp.concatenate([r1, r2], axis=0)
+
+    T1s = _normalize_pts(p1)
+    T2s = _normalize_pts(p2)
+    p1n, T1 = T1s
+    p2n, T2 = T2s
+    A = rows(p1n, p2n)
+
+    def sweep(carry, _):
+        H, x = carry
+        err = homography_transfer_error(H, p1, p2)
+        unary = (inlier_thr - err) / tau
+        field = jnp.sum(
+            jnp.where(nbr_ok, 2.0 * x[nbr] - 1.0, 0.0), axis=1
+        ) / jnp.maximum(jnp.sum(nbr_ok, axis=1), 1)
+        x = jax.nn.sigmoid(unary + smoothness * field)
+        x = jnp.where(valid, x, 0.0)
+        h = _weighted_nullvec9(A, jnp.concatenate([x, x]))
+        Hn = h.reshape(3, 3)
+        H2 = _linalg.inv3x3(T2) @ Hn @ T1
+        H2 = H2 / jnp.where(
+            jnp.abs(H2[2:3, 2:3]) < 1e-12, 1e-12, H2[2:3, 2:3]
+        )
+        return (H2, x), None
+
+    (H, x), _ = jax.lax.scan(
+        sweep, (H0, inl0.astype(jnp.float32)), None, length=num_sweeps
+    )
+    err = homography_transfer_error(H, p1, p2)
+    inl = (x > 0.5) & (err <= 2.0 * inlier_thr) & valid
+    score = jnp.sum(jnp.maximum(inlier_thr - jnp.where(valid, err, jnp.inf),
+                                0.0))
+    return H, inl, score
+
+
 def decompose_essential(E):
     """E -> 4 candidate poses (R ``[4,3,3]``, t ``[4,3]`` unit norm)."""
     U, _, Vt = jnp.linalg.svd(E)

@@ -1414,7 +1414,8 @@ class System:
             return False
 
         res = initializer.try_initialize_mono(
-            self.camera, self._init_feats, feats, self._split_key()
+            self.camera, self._init_feats, feats, self._split_key(),
+            coherent=self.use_graph_cut,
         )
         if not bool(res.success):
             # Keep the reference frame while it still matches well — the
