@@ -43,11 +43,11 @@ import numpy as np
 N_REPS = 3
 BA_ITERS_PER_CALL = 10  # mapper.local_ba's num_iters
 
-_FRAMES_CACHE = "/tmp/plpslam_bench_frames_{kind}_v2.npz"
+_FRAMES_CACHE = "/tmp/plpslam_bench_frames_{kind}_v3.npz"
 
 # Large-map sequence geometry (out-and-back with a genuinely
 # non-covisible far leg -> one organic loop closure on the return).
-LOOP_OUT_FRAMES = 150
+LOOP_OUT_FRAMES = 210
 LOOP_STEP = 0.35
 
 
@@ -75,12 +75,16 @@ def render_frames_child(path: str, n_frames: int, kind: str = "arc"):
     render_kw = {}
     if kind == "loop":
         tex = sc.make_texture(rng, size=4096)
-        span = LOOP_STEP * LOOP_OUT_FRAMES
-        render_kw["plane_half"] = span + 8.0
-        Cs = [np.array([LOOP_STEP * i, 0.0, 0.0])
-              for i in range(LOOP_OUT_FRAMES)]
-        Cs += [np.array([LOOP_STEP * (LOOP_OUT_FRAMES - 1 - i), 0.0, 0.0])
-               for i in range(LOOP_OUT_FRAMES)]
+        # Ramp from rest over the first 10 frames: the near foreground
+        # patch's optical flow at full step (~52 px/frame) is untrackable
+        # from a cold single-keyframe init (real sequences also start at
+        # rest).
+        steps = LOOP_STEP * np.minimum(1.0, (np.arange(LOOP_OUT_FRAMES)
+                                             + 1) / 10.0)
+        xs = np.cumsum(steps)
+        render_kw["plane_half"] = float(xs[-1]) + 8.0
+        Cs = [np.array([x, 0.0, 0.0]) for x in xs]
+        Cs += [np.array([x, 0.0, 0.0]) for x in xs[::-1]]
         poses = [(np.eye(3), -np.asarray(C)) for C in Cs]
     else:
         tex = sc.make_texture(rng, grid=(kind == "plp"))

@@ -28,6 +28,64 @@ from structure_plp_slam_tpu.ops import image as image_ops
 from structure_plp_slam_tpu.ops import orb as orb_ops
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_lines", "rows", "cols", "depthmap_factor",
+                     "focal_x_baseline", "mode"),
+)
+def _lines_impl(img, key, aux, *, max_lines, rows, cols, depthmap_factor,
+                focal_x_baseline, mode):
+    """The WHOLE line front-end as one jitted dispatch: detection,
+    band descriptors, endpoint depths (RGB-D median sampling or stereo
+    row-SAD). Previously this path ran as ~50 eager ops whose per-dispatch
+    RPC overhead alone cost ~100 ms/frame on the tunnel-attached chip
+    (the full-PLP configuration's fps collapse)."""
+    from structure_plp_slam_tpu.ops import lines as line_ops
+
+    gray = image_ops.to_grayscale(img)
+    seg, valid, _ = line_ops.detect_line_segments_multiscale(
+        gray, key, max_lines=max_lines
+    )
+    desc = line_ops.line_band_descriptors(gray, seg, valid)
+    H, W = rows, cols
+    if mode == "stereo":
+        from structure_plp_slam_tpu.ops import stereo as stereo_ops
+
+        ML = seg.shape[0]
+        fracs = jnp.asarray([0.05, 0.1, 0.15, 0.85, 0.9, 0.95])
+        x = seg[None, :, 0] + fracs[:, None] * (seg[None, :, 2] - seg[None, :, 0])
+        y = seg[None, :, 1] + fracs[:, None] * (seg[None, :, 3] - seg[None, :, 1])
+        pts = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+        grayR = image_ops.to_grayscale(aux)
+        d, ok = stereo_ops.depth_at_points(
+            gray, grayR, pts, focal_x_baseline=focal_x_baseline
+        )
+        d = jnp.where(ok, d, 0.0).reshape(6, ML)
+        seg_depth = jnp.stack(
+            [jnp.median(d[:3], axis=0), jnp.median(d[3:], axis=0)], axis=1
+        )
+    elif mode == "depth":
+        dm = aux.astype(jnp.float32) * (1.0 / depthmap_factor)
+
+        def sample_depth(frac):
+            xs = seg[:, 0] + frac * (seg[:, 2] - seg[:, 0])
+            ys = seg[:, 1] + frac * (seg[:, 3] - seg[:, 1])
+            xi = jnp.clip(xs.astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip(ys.astype(jnp.int32), 0, H - 1)
+            return dm[yi, xi]
+
+        d1 = jnp.median(
+            jnp.stack([sample_depth(f) for f in (0.05, 0.1, 0.15)]), axis=0
+        )
+        d2 = jnp.median(
+            jnp.stack([sample_depth(f) for f in (0.85, 0.9, 0.95)]), axis=0
+        )
+        seg_depth = jnp.stack([d1, d2], axis=1)
+    else:
+        seg_depth = jnp.zeros((seg.shape[0], 2), jnp.float32)
+    return seg, desc, valid, seg_depth
+
+
 class Frontend:
     """Feature extraction pipeline bound to a camera + ORB params.
 
@@ -84,69 +142,29 @@ class Frontend:
     def _lines(self, img, out, key, depth_map=None, img_right=None):
         """Attach line-segment features (reference: the ±line frame
         constructors, frame.h:87-164 line variants + LineFeatureTracker).
-
-        With a depth map, endpoint depths are sampled slightly inside the
-        segment (median of a few samples — segment edges sit on depth
-        discontinuities) for direct RGB-D line instantiation. With a
-        rectified right image (stereo), endpoint depths come from a row
-        SAD disparity search at the same sample points
-        (ops/stereo.depth_at_points) — the stereo analog of the depth-map
-        sampling (reference stereo line drivers,
-        run_kitti_slam_with_line.cc:191-233).
-        """
+        One jitted dispatch — see :func:`_lines_impl`."""
         import jax
-
-        from structure_plp_slam_tpu.ops import lines as line_ops
 
         if key is None:
             key = jax.random.PRNGKey(0)
-        gray = image_ops.to_grayscale(jnp.asarray(img))
-        seg, valid, _ = line_ops.detect_line_segments_multiscale(
-            gray, key, max_lines=self.max_lines
+        if img_right is not None:
+            mode, aux = "stereo", jnp.asarray(img_right)
+        elif depth_map is not None:
+            mode, aux = "depth", jnp.asarray(depth_map)
+        else:
+            mode, aux = "none", jnp.zeros((1, 1), jnp.float32)
+        seg, desc, valid, seg_depth = _lines_impl(
+            jnp.asarray(img), key, aux,
+            max_lines=self.max_lines, rows=self.camera.rows,
+            cols=self.camera.cols,
+            depthmap_factor=float(self.camera.depthmap_factor),
+            focal_x_baseline=float(self.camera.focal_x_baseline),
+            mode=mode,
         )
-        desc = line_ops.line_band_descriptors(gray, seg, valid)
         out["seg"] = seg
         out["seg_desc"] = desc
         out["seg_valid"] = valid
-        if img_right is not None:
-            from structure_plp_slam_tpu.ops import stereo as stereo_ops
-
-            ML = seg.shape[0]
-            fracs = jnp.asarray([0.05, 0.1, 0.15, 0.85, 0.9, 0.95])
-            x = seg[None, :, 0] + fracs[:, None] * (seg[None, :, 2] - seg[None, :, 0])
-            y = seg[None, :, 1] + fracs[:, None] * (seg[None, :, 3] - seg[None, :, 1])
-            pts = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)  # [6*ML, 2]
-            grayR = image_ops.to_grayscale(jnp.asarray(img_right))
-            d, ok = stereo_ops.depth_at_points(
-                gray, grayR, pts,
-                focal_x_baseline=self.camera.focal_x_baseline,
-            )
-            d = jnp.where(ok, d, 0.0).reshape(6, ML)
-            d1 = jnp.median(d[:3], axis=0)
-            d2 = jnp.median(d[3:], axis=0)
-            out["seg_depth"] = jnp.stack([d1, d2], axis=1)
-        elif depth_map is not None:
-            dm = jnp.asarray(depth_map).astype(jnp.float32) * (
-                1.0 / self.camera.depthmap_factor
-            )
-            H, W = self.camera.rows, self.camera.cols
-
-            def sample_depth(frac):
-                x = seg[:, 0] + frac * (seg[:, 2] - seg[:, 0])
-                y = seg[:, 1] + frac * (seg[:, 3] - seg[:, 1])
-                xi = jnp.clip(x.astype(jnp.int32), 0, W - 1)
-                yi = jnp.clip(y.astype(jnp.int32), 0, H - 1)
-                return dm[yi, xi]
-
-            d1 = jnp.median(
-                jnp.stack([sample_depth(f) for f in (0.05, 0.1, 0.15)]), axis=0
-            )
-            d2 = jnp.median(
-                jnp.stack([sample_depth(f) for f in (0.85, 0.9, 0.95)]), axis=0
-            )
-            out["seg_depth"] = jnp.stack([d1, d2], axis=1)
-        else:
-            out["seg_depth"] = jnp.zeros((seg.shape[0], 2), jnp.float32)
+        out["seg_depth"] = seg_depth
         return out
 
     def _eff_mask(self, mask):
