@@ -297,6 +297,16 @@ def detect_line_segments(
 
 
 @jax.jit
+def _box3(img):
+    """3x3 box blur via shifted adds (VPU; see sobel_gradients)."""
+    p = jnp.pad(img, 1, mode="reflect")
+    return (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    ) * (1.0 / 9.0)
+
+
 def line_band_descriptors(img, seg, valid):
     """LBD-flavored band-gradient descriptors ``[M, DESC_DIM]`` (unit L2).
 
@@ -309,6 +319,13 @@ def line_band_descriptors(img, seg, valid):
     of the flanking bands can.
     """
     H, W = img.shape
+    # Descriptor sampling reads a lightly smoothed image: sigma-5 pixel
+    # noise maps to ~sigma-20 Sobel noise against 30-100 edge gradients
+    # (measured 0.60 matching precision under noise vs 0.91 clean); a
+    # 3x3 box cuts gradient noise ~3x while both band scales (2 and 5
+    # px) stay far above the blur radius. Detection keeps the raw image
+    # (its NMS wants the sharpest ridges).
+    img = _box3(img)
     gx, gy = sobel_gradients(img)
     x1, y1, x2, y2 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
 
