@@ -41,7 +41,7 @@ import time
 import numpy as np
 
 N_REPS = 5
-BA_ITERS_PER_CALL = 10  # mapper.local_ba's num_iters
+BA_ITERS_PER_CALL = 8  # mapper.local_ba num_iters
 
 _FRAMES_CACHE = "/tmp/plpslam_bench_frames_{kind}_v3.npz"
 

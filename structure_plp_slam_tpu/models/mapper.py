@@ -353,32 +353,31 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
 
     # Sort by (landmark, level): finest-level observations first within
     # each landmark's segment; invalid slots (lm = L) sort last.
+    # Everything downstream is GATHERS off this one sorted order —
+    # the previous [L, M]-slot scatters serialized ~260k updates on TPU
+    # and dominated the 35 ms cost of this function.
     key = lm_safe * jnp.int32(num_levels) + lvl
     order = jnp.argsort(key)
     lm_s = lm_safe[order]
-    # Rank within each landmark segment (position among its observations).
     O = lm_s.shape[0]
-    iota = jnp.arange(O, dtype=jnp.int32)
-    change = jnp.concatenate([jnp.array([True]), lm_s[1:] != lm_s[:-1]])
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(change, iota, 0)
-    )
-    rank = iota - seg_start
 
-    take = rank < M
-    dst_lm = jnp.where(take & (lm_s < L), lm_s, L)
-    dst_rank = jnp.where(take, rank, 0)
+    # Segment starts per landmark via binary search on the sorted ids.
+    starts = jnp.searchsorted(lm_s, jnp.arange(L + 1, dtype=jnp.int32))
+    counts_seg = starts[1:] - starts[:-1]                    # [L]
+
     flat_kf = obs_kf[order]
-    flat_kp = (jnp.arange(K * N, dtype=jnp.int32) % N)[order]
-    desc_o = state.kf_desc[flat_kf, flat_kp]      # [O, 8] u32
     lvl_o = lvl[order].astype(jnp.float32)
 
-    slot_desc = jnp.zeros((L + 1, M, 8), jnp.uint32).at[
-        dst_lm, dst_rank
-    ].set(desc_o, mode="drop")[:L]
-    slot_ok = jnp.zeros((L + 1, M), bool).at[dst_lm, dst_rank].set(
-        take & (lm_s < L), mode="drop"
-    )[:L]
+    # slot r of landmark l = sorted position starts[l] + r. Descriptors
+    # come via TWO flat single-index gathers (reorder once, then row
+    # gather) — a composite kf_desc[a, b] two-index gather lowers ~2x
+    # slower on TPU.
+    flat_desc = state.kf_desc.reshape(-1, 8)[order]          # [O, 8]
+    pos = starts[:L, None] + jnp.arange(M, dtype=jnp.int32)[None]  # [L, M]
+    slot_ok = jnp.arange(M, dtype=jnp.int32)[None] < counts_seg[:L, None]
+    pos_safe = jnp.clip(pos, 0, O - 1)
+    slot_desc = flat_desc[pos_safe]                          # [L, M, 8]
+    slot_desc = jnp.where(slot_ok[:, :, None], slot_desc, 0)
 
     # ---- representative descriptor: median-Hamming argmin --------------
     x = jnp.bitwise_xor(slot_desc[:, :, None, :], slot_desc[:, None, :, :])
@@ -401,18 +400,19 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
     new_desc = jnp.where(desc_keep[:, None], best_desc, state.lm_desc)
 
     # ---- scale-invariance bounds ---------------------------------------
+    # Segment sums over the SORTED order via cumulative sums + start
+    # gathers (no scatter-adds).
     dist_o = jnp.linalg.norm(
         state.lm_pos[jnp.clip(lm_s, 0, L - 1)] - C[flat_kf], axis=-1
     )
     up_o = dist_o * jnp.float32(scale_factor) ** lvl_o
-    lm_all = jnp.where(lm_s < L, lm_s, L)
     ok_all = (lm_s < L)
-    sum_up = jnp.zeros((L + 1,), jnp.float32).at[lm_all].add(
-        jnp.where(ok_all, up_o, 0.0), mode="drop"
-    )[:L]
-    cnt_all = jnp.zeros((L + 1,), jnp.float32).at[lm_all].add(
-        ok_all.astype(jnp.float32), mode="drop"
-    )[:L]
+    cs = jnp.concatenate([
+        jnp.zeros((1,), jnp.float32),
+        jnp.cumsum(jnp.where(ok_all, up_o, 0.0)),
+    ])
+    sum_up = cs[starts[1:]] - cs[starts[:-1]]                # [L]
+    cnt_all = counts_seg.astype(jnp.float32)
     dist_max = sum_up / jnp.maximum(cnt_all, 1.0)
     dist_min = dist_max / jnp.float32(scale_factor) ** (num_levels - 1)
     bound_keep = (cnt_all > 0) & state.lm_valid
@@ -459,24 +459,54 @@ def fuse_into_keyframe(camera, state: ms.MapState, kf, lm_cand_mask,
 
     lm_bits = matching.unpack_desc_bits(state.lm_desc)
     kp_bits = matching.unpack_desc_bits(state.kf_desc[kf])
-    kp_best, d_best = matching.match_by_projection(
-        uv,
-        jnp.zeros((L,), jnp.int32),
-        lm_bits,
-        vis,
-        state.kf_xy[kf],
-        state.kf_level[kf],
-        kp_bits,
-        state.kf_kp_valid[kf],
-        radius_by_level=jnp.full((8,), 3.0, jnp.float32),
-        max_hamming=50,
-        level_window=8,
-        wrap_cols=(
-            float(camera.cols)
-            if camera.model is CameraModel.EQUIRECTANGULAR
-            else None
-        ),
+    from structure_plp_slam_tpu.ops import pallas_matching as pm
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and L % pm.TILE_L == 0
+        and camera.model is not CameraModel.EQUIRECTANGULAR
     )
+    if use_pallas:
+        # Fused window+top-2 kernel instead of materializing the [L, N]
+        # distance matrix (134 MB at production shapes — fuse was ~20 ms,
+        # the tracker's path already uses this kernel). The fuse gate has
+        # no level window (level_window=8 of 8 levels): both meta levels
+        # are zeroed so the kernel's level term always passes.
+        N_kp = state.kf_xy.shape[1]
+        Np = ((N_kp + pm.TILE_N - 1) // pm.TILE_N) * pm.TILE_N
+        kp_lvl0 = jnp.where(state.kf_kp_valid[kf], 0.0, 1e9)
+        kp_meta = pm.pack_meta_kp(state.kf_xy[kf], kp_lvl0)
+        kp_bits_p = kp_bits
+        if Np != N_kp:
+            kp_meta = jnp.pad(kp_meta, ((0, Np - N_kp), (0, 0)))
+            kp_meta = kp_meta.at[N_kp:, 2].set(1e9)
+            kp_bits_p = jnp.pad(kp_bits, ((0, Np - N_kp), (0, 0)))
+        lm_meta = pm.pack_meta_lm(
+            uv, jnp.where(vis, 3.0, -1.0), jnp.zeros((L,), jnp.float32)
+        )
+        bd, _sd, kb = pm.fused_match(lm_bits, lm_meta, kp_bits_p, kp_meta)
+        okf = bd <= 50
+        kp_best = jnp.where(okf & (kb < N_kp), kb, -1)
+        d_best = bd.astype(jnp.int32)
+    else:
+        kp_best, d_best = matching.match_by_projection(
+            uv,
+            jnp.zeros((L,), jnp.int32),
+            lm_bits,
+            vis,
+            state.kf_xy[kf],
+            state.kf_level[kf],
+            kp_bits,
+            state.kf_kp_valid[kf],
+            radius_by_level=jnp.full((8,), 3.0, jnp.float32),
+            max_hamming=50,
+            level_window=8,
+            wrap_cols=(
+                float(camera.cols)
+                if camera.model is CameraModel.EQUIRECTANGULAR
+                else None
+            ),
+        )
     matched = kp_best >= 0
     safe_kp = jnp.where(matched, kp_best, N)
     existing = jnp.concatenate([state.kf_lm_idx[kf], jnp.array([-1])])[safe_kp]
@@ -731,10 +761,12 @@ def local_ba(
             ),
             lobs_valid=lobs_ok.reshape(-1),
         )
-    # 10 damped-GN iterations with the outlier cull after 4 (reference:
+    # 8 damped-GN iterations with the outlier cull after 4 (reference:
     # local_bundle_adjuster.cc runs 5 + cull + 10 with exact g2o solves;
-    # the damped Schur solve here converges in fewer).
-    result = ba.ba_solve(camera, prob, lw, obs_grid=True, num_iters=10,
+    # the damped Schur solve here converges in fewer — the window ATE
+    # gates hold at 8, and each iteration is ~3 ms of the keyframe
+    # chain's budget).
+    result = ba.ba_solve(camera, prob, lw, obs_grid=True, num_iters=8,
                          cull_at_iters=(4,))
 
     # Write back optimized poses (opt cameras only) and landmark positions.

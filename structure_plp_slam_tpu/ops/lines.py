@@ -296,6 +296,11 @@ def detect_line_segments(
     return seg, valid, picked_score
 
 
+import os as _os
+
+_BOX_OFF = _os.environ.get("PLPSLAM_NO_BOX") == "1"
+
+
 @jax.jit
 def _box3(img):
     """3x3 box blur via shifted adds (VPU; see sobel_gradients)."""
@@ -325,7 +330,7 @@ def line_band_descriptors(img, seg, valid):
     # 3x3 box cuts gradient noise ~3x while both band scales (2 and 5
     # px) stay far above the blur radius. Detection keeps the raw image
     # (its NMS wants the sharpest ridges).
-    img = _box3(img)
+    img = img if _BOX_OFF else _box3(img)
     gx, gy = sobel_gradients(img)
     x1, y1, x2, y2 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
 

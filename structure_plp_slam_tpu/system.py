@@ -337,7 +337,7 @@ def _loopfix_adopt(state, R_opt, t_opt, s_opt, snap_next_kf):
         "camera", "with_lines", "has_seg", "has_seg_lines", "do_ba",
         "do_cull_kf", "stats_full", "do_detect", "two_view_lines",
         "num_tri_neighbors", "planar", "use_graph_cut", "scale_factor",
-        "num_levels", "bow_max_hamming", "bow_chunk",
+        "num_levels", "bow_max_hamming", "bow_chunk", "part",
     ),
 )
 def _kf_chain(camera, st, slot, pose, ts, feats, kp_lm, next_lm, seg_mask,
@@ -345,7 +345,7 @@ def _kf_chain(camera, st, slot, pose, ts, feats, kp_lm, next_lm, seg_mask,
               *, with_lines, has_seg, has_seg_lines, do_ba, do_cull_kf,
               stats_full, do_detect, two_view_lines, num_tri_neighbors,
               planar, use_graph_cut, scale_factor, num_levels,
-              bow_max_hamming, bow_chunk):
+              bow_max_hamming, bow_chunk, part="all"):
     """The ENTIRE keyframe processing chain as ONE jitted dispatch
     (reference mapping thread, mapping_module.cc:193-285, plus the
     loop-detection compute of global_optimization_module.cc).
@@ -363,70 +363,83 @@ def _kf_chain(camera, st, slot, pose, ts, feats, kp_lm, next_lm, seg_mask,
     from structure_plp_slam_tpu.models import planar_mapper
 
     K = st.kf_pose.shape[0]
-    st, created = mapper.insert_keyframe(
-        camera, st, slot, pose, ts, feats, kp_lm, next_lm
-    )
-    next_lm = next_lm + created
-    # Incremental indicator maintenance: ``ind0`` (the caller's cached
-    # post-previous-chain indicator) is patched per stage instead of
-    # rebuilt (each full [K, L] rebuild is a ~5 ms TPU scatter; only
-    # fuse's global duplicate remap still needs one).
-    ind = ms.indicator_update_rows(ind0, st, jnp.stack([slot]))
-    st, _ = mapper.cull_landmarks(st, slot, ind=ind)
-    ind = ind * st.lm_valid[None, :].astype(jnp.float32)
-    st, n_tri, tri_nbs = mapper.triangulate_with_neighbors(
-        camera, st, slot, next_lm, ind, num_neighbors=num_tri_neighbors,
-        return_neighbors=True,
-    )
-    next_lm = next_lm + n_tri
-
-    if with_lines:
-        from structure_plp_slam_tpu.models import line_mapper
-
-        if has_seg_lines:
-            st = st._replace(
-                kf_line_idx=st.kf_line_idx.at[slot].set(seg_line_idx)
-            )
-        st, n_depth = line_mapper.lines_from_depth(camera, st, slot,
-                                                   next_line)
-        next_line = next_line + n_depth
-        st, n_pts = line_mapper.lines_from_points(camera, st, slot,
-                                                  next_line)
-        next_line = next_line + n_pts
-        if two_view_lines:
-            st, n_two = line_mapper.triangulate_lines_with_neighbors(
-                camera, st, slot, next_line
-            )
-            next_line = next_line + n_two
-        st, _ = line_mapper.cull_lines(st, slot)
-
-    # Refresh the rows triangulation rewired (slot + chosen neighbors) so
-    # this keyframe's new landmarks participate in duplicate fusion
-    # (previously fuse saw the pre-triangulation indicator and skipped
-    # them).
-    ind = ms.indicator_update_rows(
-        ind, st, jnp.concatenate([jnp.stack([slot]), tri_nbs])
-    )
-    kf_mask = jnp.zeros((K,), bool).at[slot].set(True)
-    lm_local = ms.local_landmark_mask(st, kf_mask, ind)
-    st, _ = mapper.fuse_into_keyframe(camera, st, slot, lm_local, ind=ind)
-    ind = ms.observation_indicator(st)
-
-    if has_seg:
-        labels = planar_mapper.label_keypoints(
-            seg_mask.astype(jnp.int32), feats["xy"], feats["valid"],
-            check_3x3=planar.check_3x3_window,
+    if part == "b":
+        # Resume from part "a"'s outputs (st / counters / ind0
+        # already advanced) — the CPU backend compiles the chain as
+        # two halves (XLA:CPU's LLVM pipeline segfaults on the
+        # largest single-executable variants); TPU stays fused.
+        ind = ind0
+    else:
+        st, created = mapper.insert_keyframe(
+            camera, st, slot, pose, ts, feats, kp_lm, next_lm
         )
-        scale = mapper.map_scale(st, slot)
-        st, n_pl = planar_mapper.detect_planes(
-            st, slot, labels, next_plane, key, scale,
-            max_instances=planar.max_instances, coherent=use_graph_cut,
-            params=planar,
+        next_lm = next_lm + created
+        # Incremental indicator maintenance: ``ind0`` (the caller's cached
+        # post-previous-chain indicator) is patched per stage instead of
+        # rebuilt (each full [K, L] rebuild is a ~5 ms TPU scatter; only
+        # fuse's global duplicate remap still needs one).
+        ind = ms.indicator_update_rows(ind0, st, jnp.stack([slot]))
+        st, _ = mapper.cull_landmarks(st, slot, ind=ind)
+        ind = ind * st.lm_valid[None, :].astype(jnp.float32)
+        st, n_tri, tri_nbs = mapper.triangulate_with_neighbors(
+            camera, st, slot, next_lm, ind, num_neighbors=num_tri_neighbors,
+            return_neighbors=True,
         )
-        next_plane = next_plane + n_pl
-        st, _ = planar_mapper.merge_planes(st, scale, params=planar)
-        st = planar_mapper.refine_planes(st, scale, params=planar)
-        st = planar_mapper.snap_points_to_planes(st, scale, params=planar)
+        next_lm = next_lm + n_tri
+
+        if with_lines:
+            from structure_plp_slam_tpu.models import line_mapper
+
+            if has_seg_lines:
+                st = st._replace(
+                    kf_line_idx=st.kf_line_idx.at[slot].set(seg_line_idx)
+                )
+            st, n_depth = line_mapper.lines_from_depth(camera, st, slot,
+                                                       next_line)
+            next_line = next_line + n_depth
+            st, n_pts = line_mapper.lines_from_points(camera, st, slot,
+                                                      next_line)
+            next_line = next_line + n_pts
+            if two_view_lines:
+                st, n_two = line_mapper.triangulate_lines_with_neighbors(
+                    camera, st, slot, next_line
+                )
+                next_line = next_line + n_two
+            st, _ = line_mapper.cull_lines(st, slot)
+
+        # Refresh the rows triangulation rewired (slot + chosen neighbors) so
+        # this keyframe's new landmarks participate in duplicate fusion
+        # (previously fuse saw the pre-triangulation indicator and skipped
+        # them).
+        ind = ms.indicator_update_rows(
+            ind, st, jnp.concatenate([jnp.stack([slot]), tri_nbs])
+        )
+        kf_mask = jnp.zeros((K,), bool).at[slot].set(True)
+        lm_local = ms.local_landmark_mask(st, kf_mask, ind)
+        st, _ = mapper.fuse_into_keyframe(camera, st, slot, lm_local, ind=ind)
+        ind = ms.observation_indicator(st)
+
+        if has_seg:
+            labels = planar_mapper.label_keypoints(
+                seg_mask.astype(jnp.int32), feats["xy"], feats["valid"],
+                check_3x3=planar.check_3x3_window,
+            )
+            scale = mapper.map_scale(st, slot)
+            st, n_pl = planar_mapper.detect_planes(
+                st, slot, labels, next_plane, key, scale,
+                max_instances=planar.max_instances, coherent=use_graph_cut,
+                params=planar,
+            )
+            next_plane = next_plane + n_pl
+            st, _ = planar_mapper.merge_planes(st, scale, params=planar)
+            st = planar_mapper.refine_planes(st, scale, params=planar)
+            st = planar_mapper.snap_points_to_planes(st, scale, params=planar)
+
+
+    if part == "a":
+        return (st, next_lm, next_plane, next_line, ind,
+                jnp.zeros((0, 3), jnp.float32),
+                jnp.zeros((0, 0), jnp.float32))
 
     if do_ba:
         if with_lines:
@@ -594,6 +607,16 @@ class System:
 
         self.planar = _pm.PlanarParams.from_raw(config.raw)
         self.use_graph_cut = self.planar.use_graph_cut
+        # Spatially-coherent consensus for the mono-init H/E races
+        # (reference: GC-RANSAC in initialize/perspective.cc:70-85).
+        # Opt-in via its own YAML key: the mean-field re-expression
+        # measurably shifts which matches seed the initial structure, and
+        # on line-anchored monocular maps the plain-MSAC seeds currently
+        # anchor 3D lines better (tests/test_line_system.py::
+        # test_mono_point_line_slam gates this end to end).
+        self.init_graph_cut = bool(
+            config.raw.get("Initializer.use_graph_cut", False)
+        )
         self.frontend = frontend_mod.Frontend(
             config.camera, config.orb, pad_to=cap, with_lines=self.with_lines
         )
@@ -1415,7 +1438,7 @@ class System:
 
         res = initializer.try_initialize_mono(
             self.camera, self._init_feats, feats, self._split_key(),
-            coherent=self.use_graph_cut,
+            coherent=self.init_graph_cut,
         )
         if not bool(res.success):
             # Keep the reference frame while it still matches well — the
@@ -1596,29 +1619,53 @@ class System:
         )
         # The whole chain (insert, cull, triangulate, lines, fuse, planes,
         # local BA, keyframe cull, statistics, loop-detect scoring) is ONE
-        # jitted dispatch — see _kf_chain. Counters stay device scalars.
+        # jitted dispatch on TPU — see _kf_chain. XLA:CPU's LLVM pipeline
+        # segfaults compiling the largest single-executable variants, so
+        # the CPU backend (the test suite) compiles it as two halves.
+        kw = dict(
+            with_lines=self.with_lines, has_seg=has_seg,
+            has_seg_lines=has_seg_lines,
+            do_ba=self.next_kf + 1 >= 3,
+            do_cull_kf=self.next_kf + 1 >= 5,
+            stats_full=slot % 2 == 0, do_detect=do_detect,
+            two_view_lines=(
+                self.camera.setup is not CameraSetup.MONOCULAR
+                and self.next_kf + 1 >= 2
+            ),
+            num_tri_neighbors=self.num_tri_neighbors,
+            planar=self.planar, use_graph_cut=self.use_graph_cut,
+            scale_factor=self.frontend.extractor.params.scale_factor,
+            num_levels=self.frontend.extractor.params.num_levels,
+            bow_max_hamming=lc.bow.max_hamming, bow_chunk=lc.bow.chunk,
+        )
+        key = self._split_key()
         with self.timer.stage("keyframe.chain", sync_on=lambda: st):
-            (st, next_lm, next_plane, next_line, ind, packed,
-             cov) = _kf_chain(
-                self.camera, self._state, slot, pose, ts, feats,
-                res.kp_lm, self.next_lm, seg_mask_arg, seg_line_arg,
-                self._split_key(), self.next_plane, self.next_line,
-                self.frontend.inv_sigma_sq, self._obs_indicator(),
-                with_lines=self.with_lines, has_seg=has_seg,
-                has_seg_lines=has_seg_lines,
-                do_ba=self.next_kf + 1 >= 3,
-                do_cull_kf=self.next_kf + 1 >= 5,
-                stats_full=slot % 2 == 0, do_detect=do_detect,
-                two_view_lines=(
-                    self.camera.setup is not CameraSetup.MONOCULAR
-                    and self.next_kf + 1 >= 2
-                ),
-                num_tri_neighbors=self.num_tri_neighbors,
-                planar=self.planar, use_graph_cut=self.use_graph_cut,
-                scale_factor=self.frontend.extractor.params.scale_factor,
-                num_levels=self.frontend.extractor.params.num_levels,
-                bow_max_hamming=lc.bow.max_hamming, bow_chunk=lc.bow.chunk,
-            )
+            if jax.default_backend() == "cpu":
+                (st, next_lm, next_plane, next_line, ind, packed,
+                 cov) = _kf_chain(
+                    self.camera, self._state, slot, pose, ts, feats,
+                    res.kp_lm, self.next_lm, seg_mask_arg, seg_line_arg,
+                    key, self.next_plane, self.next_line,
+                    self.frontend.inv_sigma_sq, self._obs_indicator(),
+                    part="a", **kw,
+                )
+                (st, next_lm, next_plane, next_line, ind, packed,
+                 cov) = _kf_chain(
+                    self.camera, st, slot, pose, ts, feats,
+                    res.kp_lm, next_lm, seg_mask_arg, seg_line_arg,
+                    key, next_plane, next_line,
+                    self.frontend.inv_sigma_sq, ind,
+                    part="b", **kw,
+                )
+            else:
+                (st, next_lm, next_plane, next_line, ind, packed,
+                 cov) = _kf_chain(
+                    self.camera, self._state, slot, pose, ts, feats,
+                    res.kp_lm, self.next_lm, seg_mask_arg, seg_line_arg,
+                    key, self.next_plane, self.next_line,
+                    self.frontend.inv_sigma_sq, self._obs_indicator(),
+                    **kw,
+                )
         self.next_kf += 1
         self.frames_since_kf = 0
         if self.with_lines:
