@@ -302,7 +302,8 @@ def update_landmark_normals(state: ms.MapState, ind=None):
 )
 def refresh_landmark_stats(state: ms.MapState, ind=None, *,
                            scale_factor: float = 1.2,
-                           num_levels: int = 8, max_obs: int = 8):
+                           num_levels: int = 8, max_obs: int = 8,
+                           window_kfs=None):
     """Refresh the per-landmark statistics that the reference maintains on
     every observation change (data/landmark.h:99-110):
 
@@ -320,6 +321,16 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
     landmark's finest ``max_obs`` observations into ``[L, max_obs]`` slots,
     then a ``[L, M, M]`` SWAR popcount for the median-Hamming pick — no
     per-landmark host loop.
+
+    ``window_kfs`` ([W] int32 keyframe ids, -1 = padding) restricts the
+    observation list to those keyframes' rows: the reference recomputes
+    descriptors/bounds only for landmarks whose OBSERVATIONS changed
+    (landmark.h:99-110 update hooks fire per mutation), and inside the
+    keyframe chain the only mutated rows are the local-BA window's.
+    Landmarks with no observation inside the window keep their stats
+    (their rows are untouched, so those stats are still current). The
+    full-K argsort is ~256k keys at production capacities (~30 ms of the
+    chain dispatch); the windowed one is ~32k.
     """
     from structure_plp_slam_tpu.ops import hamming
 
@@ -341,15 +352,26 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
     keep = (n_obs > 0) & state.lm_valid
 
     # ---- flat observation list ----------------------------------------
-    lm = state.kf_lm_idx.reshape(-1)  # [K*N]
-    obs_ok = (
-        (state.kf_lm_idx >= 0)
-        & state.kf_kp_valid
-        & state.kf_valid[:, None]
-    ).reshape(-1)
-    lvl = jnp.clip(state.kf_level.reshape(-1), 0, num_levels - 1)
+    if window_kfs is None:
+        lm_idx_w = state.kf_lm_idx
+        row_ok = state.kf_valid
+        kp_valid_w = state.kf_kp_valid
+        level_w = state.kf_level
+        desc_w = state.kf_desc
+        kf_ids = jnp.arange(K, dtype=jnp.int32)
+    else:
+        kf_ids = jnp.clip(window_kfs.astype(jnp.int32), 0, K - 1)
+        row_ok = (window_kfs >= 0) & state.kf_valid[kf_ids]
+        lm_idx_w = state.kf_lm_idx[kf_ids]
+        kp_valid_w = state.kf_kp_valid[kf_ids]
+        level_w = state.kf_level[kf_ids]
+        desc_w = state.kf_desc[kf_ids]
+    W = lm_idx_w.shape[0]
+    lm = lm_idx_w.reshape(-1)  # [W*N]
+    obs_ok = ((lm_idx_w >= 0) & kp_valid_w & row_ok[:, None]).reshape(-1)
+    lvl = jnp.clip(level_w.reshape(-1), 0, num_levels - 1)
     lm_safe = jnp.where(obs_ok, lm, L)
-    obs_kf = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0).reshape(-1)
+    obs_kf = jnp.broadcast_to(kf_ids[:, None], (W, N)).reshape(-1)
 
     # Sort by (landmark, level): finest-level observations first within
     # each landmark's segment; invalid slots (lm = L) sort last.
@@ -372,7 +394,7 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
     # come via TWO flat single-index gathers (reorder once, then row
     # gather) — a composite kf_desc[a, b] two-index gather lowers ~2x
     # slower on TPU.
-    flat_desc = state.kf_desc.reshape(-1, 8)[order]          # [O, 8]
+    flat_desc = desc_w.reshape(-1, 8)[order]                 # [O, 8]
     pos = starts[:L, None] + jnp.arange(M, dtype=jnp.int32)[None]  # [L, M]
     slot_ok = jnp.arange(M, dtype=jnp.int32)[None] < counts_seg[:L, None]
     pos_safe = jnp.clip(pos, 0, O - 1)

@@ -441,6 +441,7 @@ def _kf_chain(camera, st, slot, pose, ts, feats, kp_lm, next_lm, seg_mask,
                 jnp.zeros((0, 3), jnp.float32),
                 jnp.zeros((0, 0), jnp.float32))
 
+    ba_cams = None
     if do_ba:
         if with_lines:
             from structure_plp_slam_tpu.models import line_mapper
@@ -459,8 +460,13 @@ def _kf_chain(camera, st, slot, pose, ts, feats, kp_lm, next_lm, seg_mask,
         ind = ind * st.kf_valid[:, None].astype(jnp.float32)
 
     if stats_full:
+        # Only the local-BA window's keyframe rows changed this chain —
+        # restrict the (sort-dominated) stats refresh to them; outside
+        # the window the stored stats are still current (reference
+        # updates fire per observation mutation, landmark.h:99-110).
         st = mapper.refresh_landmark_stats(
-            st, ind, scale_factor=scale_factor, num_levels=num_levels
+            st, ind, scale_factor=scale_factor, num_levels=num_levels,
+            window_kfs=ba_cams,
         )
     else:
         st = mapper.update_landmark_normals(st, ind)
@@ -946,8 +952,19 @@ class System:
             self._pending_gba = None
             return
         if p["phase"] == "fetch":
+            # Consume the async host copies only; the numpy observation
+            # enumeration runs on the NEXT frame ("enumerate" phase) so
+            # neither step alone stalls the feed path for the combined
+            # transfer + enumeration cost (~400 ms measured at the
+            # large-map steady state).
             with self.timer.stage("gba.prepare"):
-                f = {k: np.asarray(v) for k, v in p["fetch"].items()}
+                p["host"] = {k: np.asarray(v) for k, v in p["fetch"].items()}
+                p["fetch"] = None
+                p["phase"] = "enumerate"
+            return
+        if p["phase"] == "enumerate":
+            with self.timer.stage("gba.prepare"):
+                f = p.pop("host")
                 data = global_ba.prepare_from_arrays(
                     f["kf_valid"], f["kp_valid"], f["lm_idx"],
                     f["lm_valid"], f["xy"], f["xr"], f["level"],

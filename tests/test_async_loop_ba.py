@@ -63,7 +63,9 @@ def test_deferred_gba_matches_synchronous(rng):
     slam = _system_with_state(cam, state, next_kf=6)
     slam._start_deferred_gba(anchor_kf=0)
     assert slam._pending_gba["phase"] == "fetch"
-    slam._advance_deferred_gba()  # fetch -> prepare
+    slam._advance_deferred_gba()  # fetch -> enumerate
+    assert slam._pending_gba["phase"] == "enumerate"
+    slam._advance_deferred_gba()  # enumerate -> solve
     assert slam._pending_gba["phase"] == "solve"
     for i in range(4):
         slam._advance_deferred_gba()
@@ -141,7 +143,8 @@ def test_deferred_gba_propagates_to_midsolve_keyframe(rng):
 
     slam = _system_with_state(cam, state, next_kf=6)
     slam._start_deferred_gba(anchor_kf=0)
-    slam._advance_deferred_gba()  # prepare
+    slam._advance_deferred_gba()  # fetch
+    slam._advance_deferred_gba()  # enumerate
     slam._advance_deferred_gba()  # one chunk
 
     # Mid-solve: "insert" keyframe 6 with a known pose, and a new landmark

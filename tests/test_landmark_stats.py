@@ -106,3 +106,29 @@ def test_unobserved_landmarks_untouched():
     assert np.all(np.asarray(out.lm_desc[1]) == 7)
     assert float(out.lm_dist_min[1]) == 0.5
     assert float(out.lm_dist_max[1]) == 2.0
+
+
+def test_windowed_refresh_matches_full_and_preserves_outside():
+    """``window_kfs`` covering every observer must reproduce the full
+    refresh exactly; a window NOT containing a landmark's observers must
+    leave that landmark's descriptor/bounds untouched (the chain only
+    refreshes what its BA window mutated)."""
+    st = _state_three_observers()
+    full = mapper.refresh_landmark_stats(st)
+    win = mapper.refresh_landmark_stats(
+        st, window_kfs=jnp.array([0, 1, 2, -1], jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(full.lm_desc),
+                                  np.asarray(win.lm_desc))
+    np.testing.assert_allclose(np.asarray(full.lm_dist_max),
+                               np.asarray(win.lm_dist_max), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(full.lm_dist_min),
+                               np.asarray(win.lm_dist_min), rtol=1e-6)
+
+    # Window excluding all of landmark 0's observers: stats preserved.
+    out = mapper.refresh_landmark_stats(
+        st, window_kfs=jnp.array([3, -1], jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(out.lm_desc[0]),
+                                  np.asarray(st.lm_desc[0]))
+    assert float(out.lm_dist_max[0]) == float(st.lm_dist_max[0])
