@@ -106,7 +106,7 @@ def track_frame(
     *,
     num_levels: int = 8,
     scale_factor: float = 1.2,
-    local_cap: int = 4096,
+    local_cap: int = 8192,
 ):
     """One full tracking step (motion association + local-map refinement).
 
@@ -130,24 +130,24 @@ def track_frame(
     )
     radius_table_wide = radius_table_narrow * 2.0
 
-    # ---------------- stage 1: last-frame landmarks, narrow+wide ----------
-    last_lm_mask = jnp.zeros((L,), bool).at[jnp.clip(last_kp_lm, 0, L - 1)].set(
-        last_kp_lm >= 0
-    )
-    last_lm_mask = last_lm_mask & state.lm_valid
-
-    # Association backend: on TPU with tile-aligned shapes, the fused
-    # Pallas kernel (ops/pallas_matching.py) computes matmul + window mask
-    # + top-2 in one pass without materializing [L, N] in HBM (~2x faster);
-    # otherwise ONE [L, N] distance matmul is shared across strategies.
     from structure_plp_slam_tpu.ops import pallas_matching as pm
 
-    lm_bits = matching.unpack_desc_bits(state.lm_desc)
+    # Association backend: on TPU the fused Pallas kernel
+    # (ops/pallas_matching.py) computes matmul + window mask + top-2 in
+    # one pass; otherwise a masked distance matmul per candidate set.
     # Equirectangular windows wrap horizontally — the fused kernel's plain
     # |du| gate does not, so that model takes the masked-matmul path.
+    #
+    # Both paths run over COMPACT candidate sets, not all L slots: the
+    # reference matches against the previous frame's landmarks
+    # (frame_tracker.cc motion match) and then the local map
+    # (search_local_landmarks) — never the whole database. Stage 1's
+    # candidates are exactly the <= N landmarks of ``last_kp_lm``;
+    # stage 2 gathers the local-map mask into a ``local_cap`` budget.
+    # At L = 65536 the full-slot matmuls cost ~17 ms/frame; compacted,
+    # the match cost is independent of map capacity.
     use_pallas = (
         jax.default_backend() == "tpu"
-        and L % pm.TILE_L == 0
         and camera.model is not CameraModel.EQUIRECTANGULAR
     )
     wrap_cols = (
@@ -166,21 +166,26 @@ def track_frame(
             kp_meta = jnp.pad(kp_meta, ((0, Np - N), (0, 0)))
             kp_meta = kp_meta.at[N:, 2].set(1e9)
             kp_bits_p = jnp.pad(kp_bits, ((0, Np - N), (0, 0)))
-        d_all = None
-    else:
-        d_all = matching.distance_matrix_mxu(
-            lm_bits, kp_bits, state.lm_valid, kp_valid
-        )
 
-    def assoc(R, t, lm_mask, radius_table, max_h, ratio):
-        uv, pc = _project_landmarks(camera, R, t, state.lm_pos)
+    def assoc(R, t, ids, ids_valid, bits_c, d_pre, radius_table, max_h,
+              ratio):
+        """Windowed projection matching over a compact candidate set.
+
+        ``ids [Lc]`` are global landmark slot ids (Lc a multiple of the
+        kernel tile), ``ids_valid`` gates padding/invalid rows,
+        ``bits_c`` their unpacked descriptors, ``d_pre`` the
+        precomputed [Lc, N] distance matrix for the non-Pallas path.
+        """
+        pos_c = state.lm_pos[ids]
+        uv, pc = _project_landmarks(camera, R, t, pos_c)
+        dmax_c = state.lm_dist_max[ids]
         vis, dist = _visibility(
-            camera, R, uv, pc, state.lm_normal, state.lm_dist_min,
-            state.lm_dist_max,
+            camera, R, uv, pc, state.lm_normal[ids],
+            state.lm_dist_min[ids], dmax_c,
         )
-        cand = lm_mask & vis & state.lm_valid
+        cand = ids_valid & vis
         pred_level = matching.predict_scale_level(
-            dist, state.lm_dist_max, scale_factor, num_levels
+            dist, dmax_c, scale_factor, num_levels
         )
         if use_pallas:
             radius = radius_table[jnp.clip(pred_level, 0, num_levels - 1)]
@@ -188,7 +193,7 @@ def track_frame(
                 uv, jnp.where(cand, radius, -1.0), pred_level.astype(jnp.float32)
             )
             best_d, second_d, kp_best0 = pm.fused_match(
-                lm_bits, lm_meta, kp_bits_p, kp_meta
+                bits_c, lm_meta, kp_bits_p, kp_meta
             )
             ok = best_d <= max_h
             if ratio is not None:
@@ -197,7 +202,7 @@ def track_frame(
             d_best = best_d.astype(jnp.int32)
         else:
             kp_best, d_best = matching.match_by_projection_precomputed(
-                d_all,
+                d_pre,
                 uv,
                 pred_level,
                 cand,
@@ -208,15 +213,34 @@ def track_frame(
                 ratio=ratio,
                 wrap_cols=wrap_cols,
             )
-        return _assoc_to_kp_lm(jnp.arange(L, dtype=jnp.int32), kp_best, d_best, N)
+        return _assoc_to_kp_lm(ids, kp_best, d_best, N), vis
+
+    # ---------------- stage 1: last-frame landmarks, narrow+wide ----------
+    # Compact candidate set = the previous frame's matched landmark per
+    # keypoint (ids are unique among valid entries by _assoc_to_kp_lm's
+    # conflict resolution), padded to a tile multiple.
+    Lc1 = ((N + pm.TILE_L - 1) // pm.TILE_L) * pm.TILE_L
+    ids1 = jnp.clip(last_kp_lm, 0, L - 1)
+    valid1 = (last_kp_lm >= 0) & state.lm_valid[ids1]
+    if Lc1 != N:
+        ids1 = jnp.pad(ids1, (0, Lc1 - N))
+        valid1 = jnp.pad(valid1, (0, Lc1 - N))
+    bits1 = matching.unpack_desc_bits(state.lm_desc[ids1])
+    d1 = (
+        None
+        if use_pallas
+        else matching.distance_matrix_mxu(bits1, kp_bits, valid1, kp_valid)
+    )
 
     # Projection-window matching uses the reference's loose Hamming bound
     # (match::base HAMMING_DIST_THR_HIGH = 100, used by
     # match_current_and_last_frames / match_frame_and_local_landmarks) —
     # the spatial window is the primary gate; chi2 in the LM solve culls
     # descriptor-level mistakes.
-    kp_lm_n0 = assoc(R_pred, t_pred, last_lm_mask, radius_table_narrow, 100, None)
-    kp_lm_w0 = assoc(R_pred, t_pred, last_lm_mask, radius_table_wide, 100, None)
+    kp_lm_n0, _ = assoc(R_pred, t_pred, ids1, valid1, bits1, d1,
+                        radius_table_narrow, 100, None)
+    kp_lm_w0, _ = assoc(R_pred, t_pred, ids1, valid1, bits1, d1,
+                        radius_table_wide, 100, None)
 
     # Fallback strategy: descriptor-only matching against the reference
     # keyframe's landmarks, no spatial windows (the reference's
@@ -280,18 +304,31 @@ def track_frame(
     # Associate local-map landmarks (excluding ones already matched), then
     # optimize over the UNION of stage-1 and stage-2 associations
     # (reference: optimize_current_frame_with_local_map uses all matches,
-    # tracking_module.cc:732-759).
-    uv2, pc2 = _project_landmarks(camera, R1, t1, state.lm_pos)
-    vis_mask, dist2 = _visibility(
-        camera, R1, uv2, pc2, state.lm_normal, state.lm_dist_min,
-        state.lm_dist_max,
+    # tracking_module.cc:732-759). The local map is gathered into a
+    # fixed ``local_cap`` candidate budget (reference caps local
+    # keyframes at 60; a 4096+-landmark budget covers the window's
+    # landmarks at production densities — overflow drops the
+    # highest-numbered slots).
+    Lc2 = min(
+        ((local_cap + pm.TILE_L - 1) // pm.TILE_L) * pm.TILE_L,
+        ((L + pm.TILE_L - 1) // pm.TILE_L) * pm.TILE_L,
     )
+    ids2 = jnp.nonzero(lm_local, size=Lc2, fill_value=0)[0]
+    valid2 = jnp.arange(Lc2) < jnp.sum(lm_local)
     already = jnp.zeros((L,), bool).at[jnp.clip(kp_lm_1, 0, L - 1)].set(
         kp_lm_1 >= 0
     )
-    cand2 = lm_local & vis_mask & ~already
+    bits2 = matching.unpack_desc_bits(state.lm_desc[ids2])
+    pos2 = state.lm_pos[ids2]
+    dmax2 = state.lm_dist_max[ids2]
+    uv2, pc2 = _project_landmarks(camera, R1, t1, pos2)
+    vis2, dist2 = _visibility(
+        camera, R1, uv2, pc2, state.lm_normal[ids2],
+        state.lm_dist_min[ids2], dmax2,
+    )
+    cand2 = valid2 & vis2 & ~already[ids2]
     pred_level2 = matching.predict_scale_level(
-        dist2, state.lm_dist_max, scale_factor, num_levels
+        dist2, dmax2, scale_factor, num_levels
     )
     kp_free = kp_valid & (kp_lm_1 < 0)
     if use_pallas:
@@ -302,20 +339,26 @@ def track_frame(
         kp_meta2 = kp_meta.at[:N, 2].set(
             jnp.where(kp_free, feats["level"].astype(jnp.float32), 1e9)
         )
-        bd2, sd2, kb2 = pm.fused_match(lm_bits, lm_meta2, kp_bits_p, kp_meta2)
+        bd2, sd2, kb2 = pm.fused_match(bits2, lm_meta2, kp_bits_p, kp_meta2)
         ok2 = (bd2 <= 100) & (bd2 <= 0.85 * sd2)
         kp_best2 = jnp.where(ok2 & (kb2 < N), kb2, -1)
         d_best2 = bd2.astype(jnp.int32)
     else:
-        d_free = jnp.where(kp_free[None, :], d_all, HAMMING_MASKED)
+        d2 = matching.distance_matrix_mxu(bits2, kp_bits, valid2, kp_valid)
+        d_free = jnp.where(kp_free[None, :], d2, HAMMING_MASKED)
         kp_best2, d_best2 = matching.match_by_projection_precomputed(
             d_free, uv2, pred_level2, cand2,
             feats["xy"], feats["level"],
             radius_by_level=radius_table_narrow, max_hamming=100, ratio=0.85,
             wrap_cols=wrap_cols,
         )
-    kp_lm_2 = _assoc_to_kp_lm(jnp.arange(L, dtype=jnp.int32), kp_best2, d_best2, N)
+    kp_lm_2 = _assoc_to_kp_lm(ids2, kp_best2, d_best2, N)
     kp_lm_union = jnp.where(kp_lm_1 >= 0, kp_lm_1, kp_lm_2)
+    # Visible-landmark statistics (landmark::increase_num_observable):
+    # local-map candidates inside the frustum, plus everything stage 1
+    # already matched (the reference counts both).
+    vis_mask = jnp.zeros((L,), bool).at[ids2].max(vis2 & valid2)
+    vis_mask = vis_mask.at[jnp.clip(kp_lm_1, 0, L - 1)].max(kp_lm_1 >= 0)
 
     has_u = (kp_lm_union >= 0) & kp_valid
     pts_u = state.lm_pos[jnp.clip(kp_lm_union, 0, L - 1)]
