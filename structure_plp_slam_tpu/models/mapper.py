@@ -322,15 +322,21 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
     then a ``[L, M, M]`` SWAR popcount for the median-Hamming pick — no
     per-landmark host loop.
 
-    ``window_kfs`` ([W] int32 keyframe ids, -1 = padding) restricts the
-    observation list to those keyframes' rows: the reference recomputes
-    descriptors/bounds only for landmarks whose OBSERVATIONS changed
-    (landmark.h:99-110 update hooks fire per mutation), and inside the
-    keyframe chain the only mutated rows are the local-BA window's.
-    Landmarks with no observation inside the window keep their stats
-    (their rows are untouched, so those stats are still current). The
-    full-K argsort is ~256k keys at production capacities (~30 ms of the
-    chain dispatch); the windowed one is ~32k.
+    Normals and distance bounds ALWAYS aggregate over every observer
+    (the reference's update_normal_and_depth walks the full observation
+    map): they come from [K, L] indicator contractions — one weighted
+    scatter + two matmuls — so restricting them to a window would save
+    nothing and (as a round-4 advisor finding showed) corrupts bounds
+    for landmarks whose observers straddle the window.
+
+    ``window_kfs`` ([W] int32 keyframe ids, -1 = padding) restricts only
+    the DESCRIPTOR refresh's observation list (the sort-dominated part:
+    full-K argsort is ~256k keys at production capacities, ~30 ms of the
+    chain dispatch; windowed ~32k). Because compute_descriptor must
+    aggregate over all observations (landmark.h:99-110), the windowed
+    pick only overwrites landmarks whose ENTIRE observer set lies inside
+    the window; landmarks with out-of-window observers keep their stored
+    representative descriptor until a full refresh sees them.
     """
     from structure_plp_slam_tpu.ops import hamming
 
@@ -351,7 +357,35 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
     new_normal = dir_sum / jnp.maximum(norm, 1e-9)
     keep = (n_obs > 0) & state.lm_valid
 
-    # ---- flat observation list ----------------------------------------
+    # ---- scale-invariance bounds: full aggregation, no sort ------------
+    # mean over ALL observers of dist * scale**level, as two [K, L]
+    # contractions: a scale-weighted observation indicator (one scatter,
+    # same shape as observation_indicator) times the camera-center ->
+    # landmark distance matrix (rank-3 matmul + elementwise sqrt).
+    lvl_all = jnp.clip(state.kf_level, 0, num_levels - 1).astype(jnp.float32)
+    obs_ok_all = (
+        (state.kf_lm_idx >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    )
+    lm_safe_all = jnp.where(obs_ok_all, state.kf_lm_idx, L)
+    w_up = jnp.where(obs_ok_all, jnp.float32(scale_factor) ** lvl_all, 0.0)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, state.kf_lm_idx.shape, 0)
+    ind_up = (
+        jnp.zeros((K, L + 1), jnp.float32)
+        .at[rows_iota, lm_safe_all].add(w_up)[:, :L]
+    )
+    cross = jnp.einsum("ki,li->kl", C, state.lm_pos)  # [K, L]
+    d2 = (
+        jnp.sum(state.lm_pos ** 2, axis=-1)[None, :]
+        - 2.0 * cross
+        + jnp.sum(C ** 2, axis=-1)[:, None]
+    )
+    dist_kl = jnp.sqrt(jnp.maximum(d2, 0.0))
+    sum_up = jnp.einsum("kl,kl->l", ind_up, dist_kl)  # [L]
+    dist_max = sum_up / jnp.maximum(n_obs, 1.0)
+    dist_min = dist_max / jnp.float32(scale_factor) ** (num_levels - 1)
+    bound_keep = (n_obs > 0) & state.lm_valid
+
+    # ---- flat observation list (descriptor refresh only) ---------------
     if window_kfs is None:
         lm_idx_w = state.kf_lm_idx
         row_ok = state.kf_valid
@@ -371,7 +405,6 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
     obs_ok = ((lm_idx_w >= 0) & kp_valid_w & row_ok[:, None]).reshape(-1)
     lvl = jnp.clip(level_w.reshape(-1), 0, num_levels - 1)
     lm_safe = jnp.where(obs_ok, lm, L)
-    obs_kf = jnp.broadcast_to(kf_ids[:, None], (W, N)).reshape(-1)
 
     # Sort by (landmark, level): finest-level observations first within
     # each landmark's segment; invalid slots (lm = L) sort last.
@@ -386,9 +419,6 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
     # Segment starts per landmark via binary search on the sorted ids.
     starts = jnp.searchsorted(lm_s, jnp.arange(L + 1, dtype=jnp.int32))
     counts_seg = starts[1:] - starts[:-1]                    # [L]
-
-    flat_kf = obs_kf[order]
-    lvl_o = lvl[order].astype(jnp.float32)
 
     # slot r of landmark l = sorted position starts[l] + r. Descriptors
     # come via TWO flat single-index gathers (reorder once, then row
@@ -419,25 +449,13 @@ def refresh_landmark_stats(state: ms.MapState, ind=None, *,
         slot_desc, best_row[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]                                        # [L, 8]
     desc_keep = (cnt >= 2) & state.lm_valid
+    if window_kfs is not None:
+        # Window-only aggregation is only exact for landmarks whose full
+        # observer set lies inside the window (see docstring).
+        desc_keep = desc_keep & (
+            counts_seg[:L].astype(jnp.float32) >= n_obs
+        )
     new_desc = jnp.where(desc_keep[:, None], best_desc, state.lm_desc)
-
-    # ---- scale-invariance bounds ---------------------------------------
-    # Segment sums over the SORTED order via cumulative sums + start
-    # gathers (no scatter-adds).
-    dist_o = jnp.linalg.norm(
-        state.lm_pos[jnp.clip(lm_s, 0, L - 1)] - C[flat_kf], axis=-1
-    )
-    up_o = dist_o * jnp.float32(scale_factor) ** lvl_o
-    ok_all = (lm_s < L)
-    cs = jnp.concatenate([
-        jnp.zeros((1,), jnp.float32),
-        jnp.cumsum(jnp.where(ok_all, up_o, 0.0)),
-    ])
-    sum_up = cs[starts[1:]] - cs[starts[:-1]]                # [L]
-    cnt_all = counts_seg.astype(jnp.float32)
-    dist_max = sum_up / jnp.maximum(cnt_all, 1.0)
-    dist_min = dist_max / jnp.float32(scale_factor) ** (num_levels - 1)
-    bound_keep = (cnt_all > 0) & state.lm_valid
 
     return state._replace(
         lm_normal=jnp.where(keep[:, None], new_normal, state.lm_normal),
@@ -870,6 +888,15 @@ def local_ba(
     )
     if return_cams:
         # The window cameras whose kf_lm_idx rows the outlier detach may
-        # have rewritten — for incremental indicator maintenance.
-        return state, result.chi2, cams
+        # have rewritten — for incremental indicator maintenance. Mask
+        # out below-gate / empty slots with -1 (padding) instead of the
+        # internal clipped form: clip turned empty fixed slots into
+        # keyframe 0 and kept below-weight-gate covisibles, so consumers
+        # (windowed stats refresh) saw duplicate / spurious rows
+        # (round-4 advisor, medium).
+        cams_out = jnp.concatenate([
+            jnp.where(opt_ok, opt_kfs, -1),
+            jnp.where(fix_ok, fix_idx, -1),
+        ])
+        return state, result.chi2, cams_out
     return state, result.chi2

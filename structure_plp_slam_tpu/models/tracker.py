@@ -313,7 +313,12 @@ def track_frame(
         ((local_cap + pm.TILE_L - 1) // pm.TILE_L) * pm.TILE_L,
         ((L + pm.TILE_L - 1) // pm.TILE_L) * pm.TILE_L,
     )
-    ids2 = jnp.nonzero(lm_local, size=Lc2, fill_value=0)[0]
+    # Compact from the HIGH end of the slot range: landmark slots are
+    # allocated in insertion order, so on overflow (> local_cap local
+    # landmarks) this keeps the NEWEST landmarks — the ones most likely
+    # visible in the current frame — instead of silently dropping them
+    # (round-4 advisor, low).
+    ids2 = (L - 1) - jnp.nonzero(lm_local[::-1], size=Lc2, fill_value=L - 1)[0]
     valid2 = jnp.arange(Lc2) < jnp.sum(lm_local)
     already = jnp.zeros((L,), bool).at[jnp.clip(kp_lm_1, 0, L - 1)].set(
         kp_lm_1 >= 0
@@ -353,6 +358,14 @@ def track_frame(
             wrap_cols=wrap_cols,
         )
     kp_lm_2 = _assoc_to_kp_lm(ids2, kp_best2, d_best2, N)
+    # INVARIANT: valid entries of the union are unique landmark ids.
+    # Stage 1 (kp_lm_1) is unique by _assoc_to_kp_lm's scatter-min
+    # conflict resolution (and the BoW fallback's mutual-NN check);
+    # stage 2 matches only ~already landmarks onto kp_free keypoints, so
+    # it cannot duplicate a stage-1 id, and is itself deduplicated the
+    # same way. Downstream consumers (last_kp_lm -> next frame's ids1,
+    # the lm_fnd scatter) rely on this — a new strategy that can emit
+    # duplicate ids must dedup before the union.
     kp_lm_union = jnp.where(kp_lm_1 >= 0, kp_lm_1, kp_lm_2)
     # Visible-landmark statistics (landmark::increase_num_observable):
     # local-map candidates inside the frustum, plus everything stage 1
