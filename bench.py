@@ -32,6 +32,7 @@ Extra keys reported alongside the headline:
                       (proof the mapping path was exercised).
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -43,12 +44,17 @@ import numpy as np
 N_REPS = 5
 BA_ITERS_PER_CALL = 8  # mapper.local_ba num_iters
 
-_FRAMES_CACHE = "/tmp/plpslam_bench_frames_{kind}_v3.npz"
+_FRAMES_CACHE = "/tmp/plpslam_bench_frames_{kind}_{n}_v3.npz"
 
 # Large-map sequence geometry (out-and-back with a genuinely
 # non-covisible far leg -> one organic loop closure on the return).
-LOOP_OUT_FRAMES = 210
+# 600 frames at keyframe interval <= 6: the reference's insertion policy
+# caps the interval at 1 s of video (keyframe_inserter.cc, max interval =
+# fps = 30 frames); interval 6 is still 5x harsher while letting the
+# steady state reach 60+ live keyframes organically over the sequence.
+LOOP_OUT_FRAMES = 300
 LOOP_STEP = 0.35
+LOOP_KF_INTERVAL = 6
 
 
 def render_frames_child(path: str, n_frames: int, kind: str = "arc"):
@@ -112,7 +118,7 @@ def load_frames(n_frames: int = 96, kind: str = "arc"):
     measured; fresh processes are unaffected). Rendering in a child keeps
     the benchmarking process clean, which is worth ~2x on the measured
     frames/s."""
-    path = _FRAMES_CACHE.format(kind=kind)
+    path = _FRAMES_CACHE.format(kind=kind, n=n_frames)
     if not os.path.exists(path):
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--render-child",
@@ -125,6 +131,47 @@ def load_frames(n_frames: int = 96, kind: str = "arc"):
         (imgs[i], deps[i], segs[i], float(i) / 30.0)
         for i in range(imgs.shape[0])
     ]
+
+
+@functools.lru_cache(maxsize=1)
+def _drift_fn():
+    """Jitted drift surgery for the large-map scenario: rigidly offset
+    the sub-map built after keyframe ``kf_cut`` by a fixed SE(3) drift
+    (world-side), plus the tracker pose — emulates accumulated odometry
+    drift so the return leg re-enters previously mapped space misaligned
+    and the loop closure has real work. Runs ON DEVICE: host-side numpy
+    array work mid-run measurably degrades this process's subsequent RPC
+    latency to the tunnel-attached chip (same effect as the renderer; see
+    load_frames), which would poison the second timed leg."""
+    import jax
+    import jax.numpy as jnp
+
+    from structure_plp_slam_tpu.ops import lie
+
+    @jax.jit
+    def apply_drift(st, pose_rt, kf_cut):
+        T_R = lie.so3_exp(jnp.asarray([[0.0, 0.05, 0.0]], jnp.float32))[0]
+        T_t = jnp.asarray([0.9, 0.0, 0.3], jnp.float32)
+        T_R_inv = T_R.T
+        T_t_inv = -T_R.T @ T_t
+        K = st.kf_pose.shape[0]
+        kf_sel = (jnp.arange(K) >= kf_cut) & st.kf_valid
+        R_all = st.kf_pose[:, :, :3]
+        t_all = st.kf_pose[:, :, 3]
+        R_new = jnp.einsum("kij,jl->kil", R_all, T_R_inv)
+        t_new = jnp.einsum("kij,j->ki", R_all, T_t_inv) + t_all
+        pose_new = jnp.concatenate([R_new, t_new[:, :, None]], -1)
+        kf_pose = jnp.where(kf_sel[:, None, None], pose_new, st.kf_pose)
+        lm_sel = (st.lm_ref_kf >= kf_cut) & st.lm_valid
+        lm_new = st.lm_pos @ T_R.T + T_t
+        lm_pos = jnp.where(lm_sel[:, None], lm_new, st.lm_pos)
+        Rp, tp = pose_rt
+        return (
+            st._replace(kf_pose=kf_pose, lm_pos=lm_pos),
+            (Rp @ T_R_inv, Rp @ T_t_inv + tp),
+        )
+
+    return apply_drift
 
 
 def _bench_camera():
@@ -350,43 +397,22 @@ def main(breakdown: bool = False):
             for (i, d, g, ts) in frames_l
         ]
         jax.block_until_ready(dev[-1][0])
-        from structure_plp_slam_tpu.ops import lie
         from structure_plp_slam_tpu.system import System
 
         n_out = len(dev) // 2
 
         def one():
             sl = System(cfg, max_keyframes=256, max_landmarks=65536,
-                        max_kf_interval=3)
+                        max_kf_interval=LOOP_KF_INTERVAL)
             sl.startup()
             t0 = time.perf_counter()
             for img, depth, _g, ts in dev[:n_out]:
                 sl.feed_RGBD_frame(img, depth, ts)
             np.asarray(sl.state.kf_pose)
             timed = time.perf_counter() - t0
-            # Drift surgery (untimed): rigidly offset the later sub-map.
-            kf_cut = sl.next_kf // 2
-            T_R = np.array(lie.so3_exp(jnp.asarray(
-                np.array([[0.0, 0.05, 0.0]]), jnp.float32)))[0]
-            T_t = np.array([0.9, 0.0, 0.3], np.float32)
-            st = sl.state
-            K = st.kf_pose.shape[0]
-            kf_sel = (np.arange(K) >= kf_cut) & np.array(st.kf_valid)
-            pose = np.array(st.kf_pose)
-            T_R_inv = T_R.T
-            T_t_inv = -T_R.T @ T_t
-            for k in np.where(kf_sel)[0]:
-                R, t = pose[k, :, :3], pose[k, :, 3]
-                pose[k, :, :3] = R @ T_R_inv
-                pose[k, :, 3] = R @ T_t_inv + t
-            lm_sel = (np.array(st.lm_ref_kf) >= kf_cut)                 & np.array(st.lm_valid)
-            lm = np.array(st.lm_pos)
-            lm[lm_sel] = lm[lm_sel] @ T_R.T + T_t
-            sl.state = st._replace(kf_pose=jnp.asarray(pose),
-                                   lm_pos=jnp.asarray(lm))
-            Rp, tp = sl.pose
-            sl.pose = (Rp @ jnp.asarray(T_R_inv),
-                       Rp @ jnp.asarray(T_t_inv) + tp)
+            # Drift surgery (untimed, on device — see _drift_fn).
+            sl.state, sl.pose = _drift_fn()(sl.state, sl.pose,
+                                            sl.next_kf // 2)
             t0 = time.perf_counter()
             for img, depth, _g, ts in dev[n_out:]:
                 sl.feed_RGBD_frame(img, depth, ts)

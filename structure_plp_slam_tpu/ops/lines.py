@@ -299,6 +299,9 @@ def detect_line_segments(
 import os as _os
 
 _BOX_OFF = _os.environ.get("PLPSLAM_NO_BOX") == "1"
+# Scale of the estimated gradient-noise floor subtracted from the band
+# std statistics (see line_band_descriptors); 0 disables deflation.
+NOISE_DEFLATE = 1.0
 
 
 @jax.jit
@@ -330,7 +333,22 @@ def line_band_descriptors(img, seg, valid):
     # 3x3 box cuts gradient noise ~3x while both band scales (2 and 5
     # px) stay far above the blur radius. Detection keeps the raw image
     # (its NMS wants the sharpest ridges).
+    img_raw = img
     img = img if _BOX_OFF else _box3(img)
+    # Noise-floor estimate for the band std statistics. Additive pixel
+    # noise sigma^2 inflates every per-band gradient std toward
+    # sqrt(std^2 + k sigma_g^2), rotating the normalized descriptor away
+    # from its clean direction (std terms are ~half the gradient block).
+    # Estimate sigma^2 from the residual against a 3x3 box blur
+    # (median-of-squares: robust to true texture edges; for Gaussian
+    # noise Var(resid) = 8/9 sigma^2 and median(resid^2) = 0.455 Var),
+    # propagate through the box+Sobel kernel (||box*sobel||^2 = 16/9 per
+    # component), and DEFLATE the stds: sqrt(max(std^2 - floor, 0)).
+    # Clean images estimate a tiny floor (texture-only residual), so the
+    # clean descriptor is nearly unchanged.
+    resid = img_raw - _box3(img_raw)
+    sigma2_px = jnp.median(resid * resid) * (1.0 / (0.455 * 8.0 / 9.0))
+    grad_noise_var = NOISE_DEFLATE * (16.0 / 9.0) * sigma2_px
     gx, gy = sobel_gradients(img)
     x1, y1, x2, y2 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
 
@@ -382,12 +400,17 @@ def line_band_descriptors(img, seg, valid):
         sgy = gy[yi, xi]
         g_par = sgx * dirx[:, None, None] + sgy * diry[:, None, None]
         g_per = sgx * nx[:, None, None] + sgy * ny[:, None, None]
+
+        def std_deflated(g):
+            v = jnp.var(g, axis=1)
+            return jnp.sqrt(jnp.maximum(v - grad_noise_var, 0.0))
+
         stats = jnp.concatenate(
             [
                 jnp.mean(g_par, axis=1),
                 jnp.mean(g_per, axis=1),
-                jnp.std(g_par, axis=1),
-                jnp.std(g_per, axis=1),
+                std_deflated(g_par),
+                std_deflated(g_per),
             ],
             axis=1,
         )

@@ -568,8 +568,10 @@ class System:
         self.track_lag = max(0, int(track_lag))
         self._pending: collections.deque = collections.deque()
         # Deferred loop detection: (kf, packed device array) dispatched at
-        # a keyframe, consumed at the next one (or at drain points).
+        # a keyframe, consumed at the next one (or at drain points) once
+        # its device->host copy has landed (readiness-gated; age-bounded).
         self._pending_loop = None
+        self._pending_loop_age = 0
         # In-flight loop FIX (validate -> correct phases advanced one per
         # frame; see _advance_pending_fix).
         self._pending_fix: Optional[dict] = None
@@ -719,12 +721,12 @@ class System:
         while self._pending:
             self._consume(self._pending.popleft())
         if getattr(self, "_pending_loop", None) is not None:
-            self._consume_pending_loop()
+            self._consume_pending_loop(force=True)
         while getattr(self, "_pending_fix", None) is not None:
             self._advance_pending_fix()
         self._finish_deferred_gba()
 
-    def _consume_pending_loop(self, res=None):
+    def _consume_pending_loop(self, res=None, force=False):
         """Consume a deferred loop detection (dispatched at the previous
         keyframe): gate on the fetched scores and, on a candidate,
         DISPATCH the Sim3 validation — the validation result, the map
@@ -732,14 +734,34 @@ class System:
         (:meth:`_advance_pending_fix`), so a firing loop never stalls the
         feed (reference: global_optimization_module.cc:90-296 does all of
         this on the loop thread). Returns ``res`` unchanged (corrections
-        now land between frames and rebase the tracker pose there)."""
+        now land between frames and rebase the tracker pose there).
+
+        The fetch is READINESS-GATED: during keyframe bursts the device is
+        still computing the dispatching chain when the next keyframe
+        arrives, so a blocking ``np.asarray`` here would stall the feed for
+        the chain's remaining device time (measured: 28 ms mean x every
+        keyframe on the large-map bench). If the packed scores aren't on
+        the host yet we keep the detection pending (no new one is issued
+        while one is pending) and retry next keyframe, bounded by an age
+        limit so a saturated device still gets detections consumed — the
+        reference's loop thread polls its keyframe queue at its own pace
+        the same way (global_optimization_module.cc:90-105)."""
         pend = self._pending_loop
-        self._pending_loop = None
         if pend is None:
             return res
         kf_cur, packed = pend
         if packed is None:
+            self._pending_loop = None
             return res
+        if not force and self._pending_loop_age < 3:
+            try:
+                if not packed[0].is_ready():
+                    self._pending_loop_age += 1
+                    return res
+            except AttributeError:
+                pass
+        self._pending_loop = None
+        self._pending_loop_age = 0
         with self.timer.stage("loop_detect"):
             cand = self.loop_closer.detect_consume(packed, kf_cur)
         if cand is None:
@@ -1110,6 +1132,7 @@ class System:
         # Pending decisions refer to the map being destroyed; drop them.
         self._pending.clear()
         self._pending_loop = None
+        self._pending_loop_age = 0
         self._pending_fix = None
         self._pending_gba = None
         self._dense_frames.clear()
@@ -1621,10 +1644,15 @@ class System:
         has_seg = entry.seg_mask is not None
         has_seg_lines = self.with_lines and entry.seg_line_idx is not None
         lc = self.loop_closer
+        # No new detection while one is still pending un-consumed (its
+        # device->host copy hasn't landed yet — readiness gate above): the
+        # reference's loop thread likewise only ever works on the LATEST
+        # queued keyframe (global_optimization_module.cc:98-105).
         do_detect = (
             self.enable_loop_closing
             and self.next_kf + 1 >= 8
             and slot - lc.last_loop_kf >= lc.min_gap
+            and self._pending_loop is None
         )
         seg_mask_arg = (
             jnp.asarray(entry.seg_mask) if has_seg
@@ -1724,6 +1752,7 @@ class System:
             except (AttributeError, NotImplementedError):
                 pass
             self._pending_loop = (slot, (packed, cov))
+            self._pending_loop_age = 0
 
     # ------------------------------------------------------------------
     def _obs_indicator(self):
